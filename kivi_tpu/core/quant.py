@@ -1,0 +1,177 @@
+"""Canonical KIVI quantization semantics with a TPU-native packed layout.
+
+Quantization semantics follow the reference exactly
+(`/root/reference/quant/new_pack.py:8-48`):
+
+  * asymmetric, group-wise:  scale = (max - min) / (2**bits - 1),  zp = min
+  * codes = clamp(round((x - min) / scale), 0, 2**bits - 1)
+  * keys are quantized PER-CHANNEL: statistics over tokens within a channel
+    (the key cache is handled transposed, groups along the token axis)
+  * values are quantized PER-TOKEN: statistics over channels within a token
+    (groups along the head_dim axis)
+
+The *bit layout* is deliberately NOT the reference's (which packs 32/bits
+consecutive codes of the grouped axis into one int32, little-endian —
+`quant/new_pack.py:86-107`).  That layout forces a lane-interleave on TPU
+unpack.  Ours is chosen for the (sublane x 128-lane) VMEM tiling:
+
+  PLANE-PACKED ALONG head_dim (D):  with fpi = 32//bits planes and
+  Dw = D // fpi words, channel d = j*Dw + w lives in word w at bits
+  [j*bits, (j+1)*bits).  Unpacking plane j yields the CONTIGUOUS channel
+  block [j*Dw, (j+1)*Dw) — a shift+mask plus an aligned sublane write,
+  no cross-lane shuffle anywhere.
+
+Both K and V stores are kept "transposed", token axis last (lanes):
+
+  k_codes (B, H, Dw, T) u32   k_scale/k_mn (B, H, T//gs, D)
+  v_codes (B, H, Dw, T) u32   v_scale/v_mn (B, H, D//gs, T)
+
+so that streaming append = a column (lane-offset) write, and the last axis
+of every stored array is the large, 128-aligned token axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def planes_per_word(bits: int) -> int:
+    assert bits in (2, 4, 8)
+    return 32 // bits
+
+
+def num_words(head_dim: int, bits: int) -> int:
+    fpi = planes_per_word(bits)
+    assert head_dim % fpi == 0, (head_dim, bits)
+    return head_dim // fpi
+
+
+# ---------------------------------------------------------------------------
+# Group quantization along the last axis (shared by K and V paths).
+# ---------------------------------------------------------------------------
+
+def quantize_last(x: jax.Array, group_size: int, bits: int):
+    """Asymmetric group quantization along the last axis.
+
+    Returns (codes u32 same shape as x, scale f32 (..., L//gs),
+    mn f32 (..., L//gs)).  Semantics == reference
+    `quant/new_pack.py:14-26` (keys) / `:36-46` (values).
+    """
+    L = x.shape[-1]
+    assert L % group_size == 0, (L, group_size)
+    G = L // group_size
+    max_int = (1 << bits) - 1
+    xg = x.reshape(*x.shape[:-1], G, group_size).astype(jnp.float32)
+    mn = jnp.min(xg, axis=-1)
+    mx = jnp.max(xg, axis=-1)
+    scale = (mx - mn) / max_int
+    # Guard constant groups (reference divides unguarded; a 0 scale would
+    # produce NaNs under XLA).  codes become 0 and dequant returns mn exactly.
+    safe = jnp.where(scale > 0, scale, 1.0)
+    codes = jnp.clip(
+        jnp.round((xg - mn[..., None]) / safe[..., None]), 0, max_int
+    ).astype(jnp.uint32)
+    return codes.reshape(x.shape), scale, mn
+
+
+def dequantize_last(codes: jax.Array, scale: jax.Array, mn: jax.Array,
+                    group_size: int) -> jax.Array:
+    """Inverse of quantize_last (f32 out)."""
+    L = codes.shape[-1]
+    G = L // group_size
+    cg = codes.reshape(*codes.shape[:-1], G, group_size).astype(jnp.float32)
+    out = cg * scale[..., None].astype(jnp.float32) + mn[..., None].astype(jnp.float32)
+    return out.reshape(codes.shape)
+
+
+# ---------------------------------------------------------------------------
+# Plane packing along an axis (the head_dim axis in practice).
+# ---------------------------------------------------------------------------
+
+def pack_planar(codes: jax.Array, bits: int, axis: int) -> jax.Array:
+    """Plane-pack `codes` (u32, values < 2**bits) along `axis`.
+
+    Axis length D becomes D//fpi words; element d = j*Dw + w goes to word w
+    bits [j*bits, (j+1)*bits).
+    """
+    fpi = planes_per_word(bits)
+    axis = axis % codes.ndim
+    D = codes.shape[axis]
+    Dw = D // fpi
+    assert D % fpi == 0
+    c = jnp.moveaxis(codes, axis, -1).astype(jnp.uint32)
+    c = c.reshape(*c.shape[:-1], fpi, Dw)  # plane index j major
+    shifts = (jnp.arange(fpi, dtype=jnp.uint32) * bits)[..., None]
+    words = jnp.sum(
+        c << shifts, axis=-2, dtype=jnp.uint32
+    )  # OR of disjoint bit-fields == sum
+    return jnp.moveaxis(words, -1, axis)
+
+
+def unpack_planar(words: jax.Array, bits: int, axis: int) -> jax.Array:
+    """Inverse of pack_planar; returns u32 codes."""
+    fpi = planes_per_word(bits)
+    axis = axis % words.ndim
+    mask = jnp.uint32((1 << bits) - 1)
+    w = jnp.moveaxis(words, axis, -1).astype(jnp.uint32)
+    shifts = jnp.arange(fpi, dtype=jnp.uint32)[:, None] * bits
+    planes = (w[..., None, :] >> shifts) & mask  # (..., fpi, Dw)
+    codes = planes.reshape(*w.shape[:-1], -1)
+    return jnp.moveaxis(codes, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# K / V block quantizers (the jnp reference implementations; the Pallas
+# kernels in kivi_tpu.kernels must match these bit-for-bit).
+# ---------------------------------------------------------------------------
+
+def quantize_k_block(k_t: jax.Array, group_size: int, bits: int):
+    """Quantize a transposed key block.
+
+    k_t: (B, H, D, T) with T % group_size == 0 (per-channel: groups along T,
+    reference `models/llama_kivi.py:133-135`).
+
+    Returns:
+      k_codes (B, H, Dw, T) u32, k_scale (B, H, T//gs, D) f32,
+      k_mn (B, H, T//gs, D) f32.
+    """
+    codes, scale, mn = quantize_last(k_t, group_size, bits)  # scale (B,H,D,Tg)
+    words = pack_planar(codes, bits, axis=-2)
+    return words, jnp.swapaxes(scale, -1, -2), jnp.swapaxes(mn, -1, -2)
+
+
+def dequantize_k(k_codes, k_scale, k_mn, group_size: int, bits: int):
+    """(B,H,Dw,T) u32 -> (B,H,D,T) f32 keys (transposed layout)."""
+    codes = unpack_planar(k_codes, bits, axis=-2)  # (B,H,D,T)
+    scale = jnp.swapaxes(k_scale, -1, -2).astype(jnp.float32)  # (B,H,D,Tg)
+    mn = jnp.swapaxes(k_mn, -1, -2).astype(jnp.float32)
+    return dequantize_last(codes, scale, mn, group_size)
+
+
+def quantize_v_block(v: jax.Array, group_size: int, bits: int):
+    """Quantize a value block.
+
+    v: (B, H, T, D) with D % group_size == 0 (per-token: groups along D,
+    reference `models/llama_kivi.py:176-178`).
+
+    Returns:
+      v_codes (B, H, Dw, T) u32, v_scale (B, H, D//gs, T) f32,
+      v_mn (B, H, D//gs, T) f32.
+    """
+    codes, scale, mn = quantize_last(v, group_size, bits)  # scale (B,H,T,Dg)
+    words = pack_planar(codes, bits, axis=-1)  # (B,H,T,Dw)
+    return (jnp.swapaxes(words, -1, -2),
+            jnp.swapaxes(scale, -1, -2),
+            jnp.swapaxes(mn, -1, -2))
+
+
+def dequantize_v(v_codes, v_scale, v_mn, group_size: int, bits: int):
+    """(B,H,Dw,T) u32 -> (B,H,T,D) f32 values (natural layout)."""
+    words = jnp.swapaxes(v_codes, -1, -2)  # (B,H,T,Dw)
+    codes = unpack_planar(words, bits, axis=-1)  # (B,H,T,D)
+    scale = jnp.swapaxes(v_scale, -1, -2).astype(jnp.float32)  # (B,H,T,Dg)
+    mn = jnp.swapaxes(v_mn, -1, -2).astype(jnp.float32)
+    return dequantize_last(codes, scale, mn, group_size)

@@ -1,0 +1,22 @@
+"""Test configuration: run on CPU with 8 virtual devices by default.
+
+The standard JAX way to test pjit/shard_map logic without a pod
+(SURVEY.md section 4).  Set KIVI_TPU_REAL=1 to run the suite against the
+real attached TPU chip instead (single device).
+
+Note: in this environment jax is pre-imported at interpreter startup with
+JAX_PLATFORMS=axon, so env vars alone are too late — we must flip the
+platform through jax.config before any backend is initialized.
+"""
+
+import os
+
+if not os.environ.get("KIVI_TPU_REAL"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,234 @@
+"""Static-shape KIVI KV cache: the TPU-native replacement for the
+reference's per-layer 9-tuple of optional, `torch.cat`-grown tensors
+(`/root/reference/models/llama_kivi.py:244,454-455`; consumed `:105-113`).
+
+Everything is preallocated at `max_seq_len`; growth is replaced by
+dynamic-slice writes at integer counters, `None`s by masking.  All stored
+arrays keep the big token axis LAST (lanes) so appends are aligned column
+writes and the layout tiles as (8, 128) VMEM blocks (see core/quant.py).
+
+Streaming policy (reference `models/llama_kivi.py:131-144, 174-187`):
+  * every token appends post-RoPE K and V to fp windows;
+  * when the K window holds `residual_length` tokens it is quantized
+    wholesale and appended to the packed store (exact reference behavior);
+  * when the V window holds `residual_length` tokens, the oldest `v_flush`
+    tokens (default group_size) are quantized and the window shifts.  The
+    reference slides by exactly 1 token per step, which is hostile to
+    static-shape jit; this block-flush keeps fp16 coverage of the most
+    recent value tokens in (residual_length - v_flush, residual_length]
+    instead of exactly residual_length (documented divergence, see
+    QuantConfig.v_flush).
+  * flushes run at the START of a step (before the append) rather than
+    after attention as in the reference — tokens cross into the quantized
+    store at most one step earlier, a no-op for accuracy at these window
+    sizes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from kivi_tpu.config import QuantConfig
+from kivi_tpu.core import quant as Q
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "k_codes", "k_scale", "k_mn", "v_codes", "v_scale", "v_mn",
+        "k_win", "v_win", "n_k_quant", "n_k_win", "n_v_quant", "n_v_win",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class KiviLayerCache:
+    """Per-layer quantized KV state.
+
+    Shapes (B=batch, H=kv heads, D=head_dim, T=max_seq_len, W=residual_length,
+    gs=group_size, KDw=D//(32//k_bits), VDw=D//(32//v_bits)):
+      k_codes: u32 (B, H, KDw, T)     plane-packed transposed keys
+      k_scale: f32 (B, H, T//gs, D)   per (token-group, channel)
+      k_mn:    f32 (B, H, T//gs, D)
+      v_codes: u32 (B, H, VDw, T)     plane-packed transposed values
+      v_scale: f32 (B, H, D//gs, T)   per (channel-group, token)
+      v_mn:    f32 (B, H, D//gs, T)
+      k_win:   (B, H, W, D) fp window of recent keys
+      v_win:   (B, H, W, D) fp window of recent values
+      n_*:     i32 scalars - valid token counts (quant stores / windows)
+    """
+
+    k_codes: jax.Array
+    k_scale: jax.Array
+    k_mn: jax.Array
+    v_codes: jax.Array
+    v_scale: jax.Array
+    v_mn: jax.Array
+    k_win: jax.Array
+    v_win: jax.Array
+    n_k_quant: jax.Array
+    n_k_win: jax.Array
+    n_v_quant: jax.Array
+    n_v_win: jax.Array
+
+    @property
+    def seq_len(self) -> jax.Array:
+        """Total tokens seen (the reference's kv_seq_len, 9th tuple slot)."""
+        return self.n_k_quant + self.n_k_win
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k_codes.shape[-1]
+
+
+def init_layer_cache(batch: int, num_kv_heads: int, head_dim: int,
+                     max_seq_len: int, qcfg: QuantConfig,
+                     dtype=jnp.bfloat16) -> KiviLayerCache:
+    gs, W = qcfg.group_size, qcfg.residual_length
+    assert max_seq_len % gs == 0
+    kdw = Q.num_words(head_dim, qcfg.k_bits)
+    vdw = Q.num_words(head_dim, qcfg.v_bits)
+    B, H, D, T = batch, num_kv_heads, head_dim, max_seq_len
+    z = jnp.zeros
+    i0 = jnp.zeros((), jnp.int32)
+    return KiviLayerCache(
+        k_codes=z((B, H, kdw, T), jnp.uint32),
+        k_scale=z((B, H, T // gs, D), jnp.float32),
+        k_mn=z((B, H, T // gs, D), jnp.float32),
+        v_codes=z((B, H, vdw, T), jnp.uint32),
+        v_scale=z((B, H, D // gs, T), jnp.float32),
+        v_mn=z((B, H, D // gs, T), jnp.float32),
+        k_win=z((B, H, W, D), dtype),
+        v_win=z((B, H, W, D), dtype),
+        n_k_quant=i0, n_k_win=i0, n_v_quant=i0, n_v_win=i0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# internal append helpers (token axis is LAST in all quant stores)
+# ---------------------------------------------------------------------------
+
+def _append_k_quant(cache: KiviLayerCache, k_block, qcfg: QuantConfig,
+                    n_tokens: int) -> KiviLayerCache:
+    """Quantize k_block (B,H,n_tokens,D) and append at n_k_quant."""
+    gs = qcfg.group_size
+    codes, scale, mn = Q.quantize_k_block(
+        jnp.swapaxes(k_block, -1, -2), gs, qcfg.k_bits)
+    off = cache.n_k_quant
+    goff = off // gs
+    return dataclasses.replace(
+        cache,
+        k_codes=jax.lax.dynamic_update_slice(
+            cache.k_codes, codes, (0, 0, 0, off)),
+        k_scale=jax.lax.dynamic_update_slice(
+            cache.k_scale, scale, (0, 0, goff, 0)),
+        k_mn=jax.lax.dynamic_update_slice(
+            cache.k_mn, mn, (0, 0, goff, 0)),
+        n_k_quant=off + n_tokens,
+    )
+
+
+def _append_v_quant(cache: KiviLayerCache, v_block, qcfg: QuantConfig,
+                    n_tokens: int) -> KiviLayerCache:
+    """Quantize v_block (B,H,n_tokens,D) and append at n_v_quant."""
+    codes, scale, mn = Q.quantize_v_block(v_block, qcfg.group_size,
+                                          qcfg.v_bits)
+    off = cache.n_v_quant
+    return dataclasses.replace(
+        cache,
+        v_codes=jax.lax.dynamic_update_slice(
+            cache.v_codes, codes, (0, 0, 0, off)),
+        v_scale=jax.lax.dynamic_update_slice(
+            cache.v_scale, scale, (0, 0, 0, off)),
+        v_mn=jax.lax.dynamic_update_slice(
+            cache.v_mn, mn, (0, 0, 0, off)),
+        n_v_quant=off + n_tokens,
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefill ingest (reference `models/llama_kivi.py:420-452`)
+# ---------------------------------------------------------------------------
+
+def prefill_ingest(cache: KiviLayerCache, k, v,
+                   qcfg: QuantConfig) -> KiviLayerCache:
+    """Ingest the whole prompt's post-RoPE K/V (B, H, T, D), T static.
+
+    Keys: quantize floor(T/W)*W tokens, window keeps T mod W
+    (`llama_kivi.py:425-434`).  Values: quantize first max(0, T-W), window
+    keeps the rest (`llama_kivi.py:442-452`).
+    """
+    W = qcfg.residual_length
+    T = k.shape[-2]
+    dtype = cache.k_win.dtype
+
+    nkq = (T // W) * W
+    if nkq:
+        cache = _append_k_quant(cache, k[:, :, :nkq, :], qcfg, nkq)
+    nkw = T - nkq
+    if nkw:
+        cache = dataclasses.replace(
+            cache,
+            k_win=jax.lax.dynamic_update_slice(
+                cache.k_win, k[:, :, nkq:, :].astype(dtype), (0, 0, 0, 0)),
+            n_k_win=jnp.int32(nkw),
+        )
+
+    # values: no token-alignment requirement (groups are along channels),
+    # but keep the quantized count group-aligned so decode-time flushes stay
+    # uniform: round T-W up to a multiple of v_flush (window keeps >= W - vf).
+    vf = qcfg.value_flush
+    nvq = 0 if T <= W else ((T - W + vf - 1) // vf) * vf
+    if nvq:
+        cache = _append_v_quant(cache, v[:, :, :nvq, :], qcfg, nvq)
+    nvw = T - nvq
+    if nvw:
+        cache = dataclasses.replace(
+            cache,
+            v_win=jax.lax.dynamic_update_slice(
+                cache.v_win, v[:, :, nvq:, :].astype(dtype), (0, 0, 0, 0)),
+            n_v_win=jnp.int32(nvw),
+        )
+    return cache
+
+
+# ---------------------------------------------------------------------------
+# decode append (reference `models/llama_kivi.py:333-399` state machine)
+# ---------------------------------------------------------------------------
+
+def decode_append(cache: KiviLayerCache, k_new, v_new,
+                  qcfg: QuantConfig) -> KiviLayerCache:
+    """Append one token's post-RoPE K/V (B, H, 1, D), flushing full windows
+    first.  jit-safe: all branches via lax.cond, all shapes static."""
+    W = qcfg.residual_length
+    vf = qcfg.value_flush
+    dtype = cache.k_win.dtype
+
+    def flush_k(c: KiviLayerCache) -> KiviLayerCache:
+        c = _append_k_quant(c, c.k_win.astype(jnp.float32), qcfg, W)
+        return dataclasses.replace(c, n_k_win=jnp.int32(0))
+
+    cache = jax.lax.cond(cache.n_k_win == W, flush_k, lambda c: c, cache)
+
+    def flush_v(c: KiviLayerCache) -> KiviLayerCache:
+        oldest = c.v_win[:, :, :vf, :].astype(jnp.float32)
+        c = _append_v_quant(c, oldest, qcfg, vf)
+        shifted = jnp.concatenate(
+            [c.v_win[:, :, vf:, :], jnp.zeros_like(c.v_win[:, :, :vf, :])],
+            axis=-2)
+        return dataclasses.replace(c, v_win=shifted, n_v_win=c.n_v_win - vf)
+
+    cache = jax.lax.cond(cache.n_v_win == W, flush_v, lambda c: c, cache)
+
+    return dataclasses.replace(
+        cache,
+        k_win=jax.lax.dynamic_update_slice(
+            cache.k_win, k_new.astype(dtype), (0, 0, cache.n_k_win, 0)),
+        v_win=jax.lax.dynamic_update_slice(
+            cache.v_win, v_new.astype(dtype), (0, 0, cache.n_v_win, 0)),
+        n_k_win=cache.n_k_win + 1,
+        n_v_win=cache.n_v_win + 1,
+    )

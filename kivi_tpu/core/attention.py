@@ -1,0 +1,160 @@
+"""KIVI attention over the static split cache.
+
+Decode attention computes logits in two halves and softmaxes over their
+concatenation, exactly like the reference
+(`/root/reference/models/llama_kivi.py:115-129, 167-172, 323-399`):
+
+    att = softmax([ q x dequant(K_quant)  ||  q x K_window ] / sqrt(D))
+    out = att[..., :n_vq] x dequant(V_quant) + att[..., n_vq:] x V_window
+
+One subtlety the reference never faces: our K and V stores can hold a
+DIFFERENT number of quantized tokens (keys flush in residual_length
+blocks, values in v_flush blocks; reference values slide by 1 so its
+n_vq == t - residual always).  The softmax vector is ordered by token
+position with the K split point; `_gather_v_window_probs` re-routes the
+probabilities of positions in [n_v_quant, t) — which may live in either
+half — onto value-window rows.
+
+GQA: query heads are folded into the kv-head batch (B, Hkv, r, D) and the
+quantized operands are never materialized per query head, following the
+reference's llama kernel design (`quant/csrc/gemv_cuda.cu:276-280`) and
+avoiding mistral's wasteful `repeat_kv_quant`
+(`models/mistral_kivi.py:58-67`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from kivi_tpu.config import QuantConfig
+from kivi_tpu.core import quant as Q
+from kivi_tpu.cache.kivi_cache import KiviLayerCache
+
+NEG_INF = -1e30
+
+
+def _lane_iota(n: int) -> jax.Array:
+    return jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, n), 3)
+
+
+def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
+                     *, impl: str = "jnp",
+                     sliding_window: Optional[int] = None) -> jax.Array:
+    """Single-token decode attention.
+
+    q: (B, Hq, 1, D) post-RoPE queries for the token just appended to the
+    cache (so position == cache.seq_len - 1).  Returns (B, Hq, 1, D) f32.
+    """
+    B, Hq, M, D = q.shape
+    assert M == 1, "decode_attention is single-token; use prefill_attention"
+    Hkv = cache.k_win.shape[1]
+    r = Hq // Hkv
+    Tmax = cache.max_seq_len
+    W = qcfg.residual_length
+    sm_scale = 1.0 / (D ** 0.5)
+
+    qg = q.reshape(B, Hkv, r, D).astype(jnp.float32)
+
+    # ---- QK^T: quantized half ------------------------------------------
+    if impl == "pallas":
+        from kivi_tpu.kernels import qk_dequant_matmul
+        att_q = qk_dequant_matmul(
+            qg, cache.k_codes, cache.k_scale, cache.k_mn,
+            qcfg.group_size, qcfg.k_bits)
+    else:
+        k_deq = Q.dequantize_k(cache.k_codes, cache.k_scale, cache.k_mn,
+                               qcfg.group_size, qcfg.k_bits)  # (B,Hkv,D,Tmax)
+        att_q = jnp.einsum("bhrd,bhdt->bhrt", qg, k_deq)
+    pos_q = _lane_iota(Tmax)
+    att_q = jnp.where(pos_q < cache.n_k_quant, att_q, NEG_INF)
+
+    # ---- QK^T: fp window half ------------------------------------------
+    att_w = jnp.einsum("bhrd,bhwd->bhrw", qg,
+                       cache.k_win.astype(jnp.float32))
+    att_w = jnp.where(_lane_iota(W) < cache.n_k_win, att_w, NEG_INF)
+
+    if sliding_window is not None:
+        # Mistral-style: token position t attends to positions
+        # > t - sliding_window.  Current position = seq_len - 1.
+        lo = cache.seq_len - sliding_window
+        att_q = jnp.where(pos_q >= lo, att_q, NEG_INF)
+        att_w = jnp.where(_lane_iota(W) + cache.n_k_quant >= lo,
+                          att_w, NEG_INF)
+
+    # ---- softmax over the concatenation (fp32, reference :339,375) -----
+    att = jnp.concatenate([att_q, att_w], axis=-1) * sm_scale
+    att = att - jax.lax.stop_gradient(jnp.max(att, axis=-1, keepdims=True))
+    p = jnp.exp(att)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p_a, p_b = p[..., :Tmax], p[..., Tmax:]
+
+    # ---- PV: quantized half --------------------------------------------
+    p_vq = jnp.where(_lane_iota(Tmax) < cache.n_v_quant, p_a, 0.0)
+    if impl == "pallas":
+        from kivi_tpu.kernels import pv_dequant_matmul
+        out_q = pv_dequant_matmul(
+            p_vq, cache.v_codes, cache.v_scale, cache.v_mn,
+            qcfg.group_size, qcfg.v_bits)
+    else:
+        v_deq = Q.dequantize_v(cache.v_codes, cache.v_scale, cache.v_mn,
+                               qcfg.group_size, qcfg.v_bits)  # (B,Hkv,T,D)
+        out_q = jnp.einsum("bhrt,bhtd->bhrd", p_vq, v_deq)
+
+    # ---- PV: fp window half --------------------------------------------
+    p_vw = _gather_v_window_probs(p_a, p_b, cache, W)
+    out_w = jnp.einsum("bhrw,bhwd->bhrd", p_vw,
+                       cache.v_win.astype(jnp.float32))
+
+    return (out_q + out_w).reshape(B, Hq, 1, D)
+
+
+def _gather_v_window_probs(p_a, p_b, cache: KiviLayerCache, W: int):
+    """Route probabilities of positions [n_v_quant, t) onto value-window
+    rows [0, n_v_win).  Position i sits in p_a at slot i when
+    i < n_k_quant, else in p_b at slot i - n_k_quant.  Entries beyond the
+    valid counts are exact zeros (their logits were -inf), so the two
+    contributions can simply be added."""
+    *lead, Tmax = p_a.shape
+    delta = cache.n_k_quant - cache.n_v_quant  # in [0, W]
+    # part from p_a: slots [n_v_quant, n_v_quant + W) (zero-padded at end)
+    pad = jnp.zeros((*lead, W), p_a.dtype)
+    a_part = jax.lax.dynamic_slice_in_dim(
+        jnp.concatenate([p_a, pad], axis=-1), cache.n_v_quant, W, axis=-1)
+    # part from p_b: shifted right by delta into a 2W buffer
+    buf = jnp.zeros((*lead, 2 * W), p_b.dtype)
+    b_part = jax.lax.dynamic_update_slice_in_dim(buf, p_b, delta, axis=-1)
+    return a_part + b_part[..., :W]
+
+
+def prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                      *, sliding_window: Optional[int] = None,
+                      impl: str = "jnp") -> jax.Array:
+    """Exact causal attention for prefill (fp, no quantization), matching
+    the reference's exact-prefill design (`models/llama_kivi.py:420-423`:
+    flash attention, then quantize the prompt KV as a post-step).
+
+    q: (B, Hq, T, D); k, v: (B, Hkv, T, D).  Returns (B, Hq, T, D) f32.
+    """
+    if impl == "pallas":
+        from kivi_tpu.kernels import flash_attention
+        return flash_attention(q, k, v, causal=True,
+                               sliding_window=sliding_window)
+    B, Hq, T, D = q.shape
+    Hkv = k.shape[1]
+    r = Hq // Hkv
+    qg = q.reshape(B, Hkv, r, T, D).astype(jnp.float32)
+    att = jnp.einsum("bhrqd,bhkd->bhrqk", qg, k.astype(jnp.float32))
+    att = att / (D ** 0.5)
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    mask = kpos <= qpos
+    if sliding_window is not None:
+        mask &= kpos > qpos - sliding_window
+    att = jnp.where(mask, att, NEG_INF)
+    p = jax.nn.softmax(att, axis=-1)
+    out = jnp.einsum("bhrqk,bhkd->bhrqd", p, v.astype(jnp.float32))
+    return out.reshape(B, Hq, T, D)

@@ -1,0 +1,80 @@
+"""Full-precision KV cache: the fp16-cache baseline path.
+
+Equivalent of the reference's `k_bits == 16` fallback that runs vanilla
+HF attention for baseline comparison (`/root/reference/mem_spd_test.py:
+23-41`).  Same static-preallocation design as the KIVI cache so the two
+are benchmarked apples-to-apples (the reference baseline still pays
+`torch.cat` growth; ours doesn't)."""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "length"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class FpLayerCache:
+    """k, v: (B, H, Tmax, D); length: i32 valid token count."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @property
+    def seq_len(self) -> jax.Array:
+        return self.length
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.k.shape[-2]
+
+
+def init_fp_cache(batch: int, num_kv_heads: int, head_dim: int,
+                  max_seq_len: int, dtype=jnp.bfloat16) -> FpLayerCache:
+    z = jnp.zeros((batch, num_kv_heads, max_seq_len, head_dim), dtype)
+    return FpLayerCache(k=z, v=z, length=jnp.zeros((), jnp.int32))
+
+
+def fp_append(cache: FpLayerCache, k_new, v_new) -> FpLayerCache:
+    """Append T tokens of (B, H, T, D)."""
+    t = k_new.shape[-2]
+    off = cache.length
+    return FpLayerCache(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, k_new.astype(cache.k.dtype), (0, 0, off, 0)),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v_new.astype(cache.v.dtype), (0, 0, off, 0)),
+        length=off + t,
+    )
+
+
+def fp_decode_attention(q: jax.Array, cache: FpLayerCache,
+                        sliding_window: Optional[int] = None) -> jax.Array:
+    """Exact single-token decode attention over the fp cache.
+
+    q: (B, Hq, 1, D) -> (B, Hq, 1, D) f32.
+    """
+    B, Hq, M, D = q.shape
+    Hkv = cache.k.shape[1]
+    r = Hq // Hkv
+    Tmax = cache.max_seq_len
+    qg = q.reshape(B, Hkv, r, D).astype(jnp.bfloat16)
+    att = jnp.einsum("bhrd,bhtd->bhrt", qg, cache.k).astype(jnp.float32)
+    att = att / (D ** 0.5)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Tmax), 3)
+    valid = pos < cache.length
+    if sliding_window is not None:
+        valid &= pos >= cache.length - sliding_window
+    att = jnp.where(valid, att, -1e30)
+    p = jax.nn.softmax(att, axis=-1)
+    out = jnp.einsum("bhrt,bhtd->bhrd", p.astype(jnp.bfloat16), cache.v)
+    return out.reshape(B, Hq, M, D).astype(jnp.float32)

@@ -1,0 +1,14 @@
+"""Pallas TPU kernels: the compute core of kivi-tpu.
+
+Replaces the reference's CUDA/Triton kernel package `quant/`
+(`gemv_cuda.cu`, `new_pack.py`, `matmul.py`) with TPU-native Pallas
+kernels.  On non-TPU backends every kernel runs in interpreter mode so
+the full test suite works on CPU.
+"""
+
+from kivi_tpu.kernels.qk_pv import qk_dequant_matmul, pv_dequant_matmul
+
+__all__ = [
+    "qk_dequant_matmul",
+    "pv_dequant_matmul",
+]

@@ -1,0 +1,194 @@
+"""Functional decoder-only transformer (Llama-2/3, LongChat, Mistral).
+
+One model core instead of the reference's two ~70%-duplicated HF forks
+(`/root/reference/models/llama_kivi.py`, `models/mistral_kivi.py` — see
+SURVEY.md cross-file notes): the KIVI algorithm lives entirely in the
+attention step; family differences (GQA ratio, rope theta/scaling,
+sliding window) are plain `ModelConfig` fields.
+
+Design (TPU-first):
+  * pure functions over a params pytree; layers are STACKED along a
+    leading axis and iterated with `lax.scan` (one trace for all layers);
+  * static-shape KIVI or fp cache per layer, also stacked;
+  * weights/activations bf16, norms and attention softmax in f32
+    (matching the reference's fp32 softmax upcast, `llama_kivi.py:339`).
+
+RoPE follows the HF rotate-half convention so HF checkpoints load with
+no weight permutation (`transformers` llama `apply_rotary_pos_emb`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from kivi_tpu.config import ModelConfig, QuantConfig
+from kivi_tpu.cache import kivi_cache as KC
+from kivi_tpu.cache.fp_cache import (FpLayerCache, fp_append,
+                                     fp_decode_attention, init_fp_cache)
+from kivi_tpu.core.attention import decode_attention, prefill_attention
+
+LayerCache = Union[KC.KiviLayerCache, FpLayerCache]
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
+                 linear_scale: Optional[float] = None):
+    """positions (...,) i32 -> cos/sin (..., head_dim) f32 (HF half-split
+    convention: angles duplicated over the two halves)."""
+    half = head_dim // 2
+    # inv_freq[i] = theta**(-2i/D), i in [0, D/2) — HF llama convention
+    inv_freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    pos = positions.astype(jnp.float32)
+    if linear_scale is not None:
+        pos = pos / linear_scale
+    ang = pos[..., None] * inv_freq  # (..., half)
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
+    return cos, sin
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def swiglu_mlp(x: jax.Array, wg, wu, wd) -> jax.Array:
+    return (jax.nn.silu(x @ wg) * (x @ wu)) @ wd
+
+
+# ---------------------------------------------------------------------------
+# one decoder layer
+# ---------------------------------------------------------------------------
+
+def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
+                     qcfg: QuantConfig, positions, *, mode: str,
+                     impl: str) -> Tuple[jax.Array, LayerCache]:
+    """mode: 'prefill' (T tokens, cache must be empty) or 'decode' (T==1)."""
+    B, T, _ = x.shape
+    Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    q = (x @ lp["wq"]).reshape(B, T, Hq, D).transpose(0, 2, 1, 3)
+    k = (x @ lp["wk"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+    v = (x @ lp["wv"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+
+    # positions (B, T) -> cos/sin (B, 1, T, D), broadcast over heads
+    cos, sin = rope_cos_sin(positions, D, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = cos[:, None, :, :], sin[:, None, :, :]
+    q = (q.astype(jnp.float32) * cos
+         + rotate_half(q.astype(jnp.float32)) * sin).astype(q.dtype)
+    k = (k.astype(jnp.float32) * cos
+         + rotate_half(k.astype(jnp.float32)) * sin).astype(k.dtype)
+
+    if mode == "prefill":
+        out = prefill_attention(q, k, v, sliding_window=cfg.sliding_window,
+                                impl="jnp")
+        if isinstance(cache, FpLayerCache):
+            cache = fp_append(cache, k, v)
+        else:
+            cache = KC.prefill_ingest(cache, k, v, qcfg)
+    else:
+        if isinstance(cache, FpLayerCache):
+            cache = fp_append(cache, k, v)
+            out = fp_decode_attention(q, cache,
+                                      sliding_window=cfg.sliding_window)
+        else:
+            cache = KC.decode_append(cache, k, v, qcfg)
+            out = decode_attention(q, cache, qcfg, impl=impl,
+                                   sliding_window=cfg.sliding_window)
+
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, Hq * D).astype(x.dtype)
+    return out @ lp["wo"], cache
+
+
+def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl):
+    h, cache = _attention_block(
+        rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps), lp, cache, cfg, qcfg,
+        positions, mode=mode, impl=impl)
+    x = x + h
+    x = x + swiglu_mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps),
+                       lp["wg"], lp["wu"], lp["wd"])
+    return x, cache
+
+
+# ---------------------------------------------------------------------------
+# full model forward (scan over stacked layers)
+# ---------------------------------------------------------------------------
+
+def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
+            qcfg: QuantConfig, positions: jax.Array, *, mode: str,
+            impl: str = "jnp") -> Tuple[jax.Array, Any]:
+    """tokens (B, T) i32; positions (B, T) i32 global positions.
+
+    Returns (logits (B, T, vocab) f32, new caches).
+    """
+    x = params["embed"][tokens]
+
+    def body(h, layer):
+        lp, lc = layer
+        h, lc = _decoder_layer(h, lp, lc, cfg, qcfg, positions,
+                               mode=mode, impl=impl)
+        return h, lc
+
+    x, caches = jax.lax.scan(body, x, (params["layers"], caches))
+    x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    return logits, caches
+
+
+def init_caches(cfg: ModelConfig, qcfg: QuantConfig, batch: int,
+                max_seq_len: int, dtype=jnp.bfloat16):
+    """Stacked per-layer caches (leading axis = layers) for lax.scan."""
+    def one(_):
+        if qcfg.quantize_kv:
+            return KC.init_layer_cache(batch, cfg.num_kv_heads, cfg.head_dim,
+                                       max_seq_len, qcfg, dtype)
+        return init_fp_cache(batch, cfg.num_kv_heads, cfg.head_dim,
+                             max_seq_len, dtype)
+    caches = [one(i) for i in range(cfg.num_layers)]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *caches)
+
+
+# ---------------------------------------------------------------------------
+# random init (tests / benchmarks with realistic shapes)
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
+    Hq, Hkv, D, Hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.hidden_size
+    L, I, V = cfg.num_layers, cfg.intermediate_size, cfg.vocab_size
+    ks = jax.random.split(key, 10)
+
+    def nrm(k, shape, scale):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    s = Hd ** -0.5
+    layers = {
+        "ln_attn": jnp.ones((L, Hd), dtype),
+        "ln_mlp": jnp.ones((L, Hd), dtype),
+        "wq": nrm(ks[0], (L, Hd, Hq * D), s),
+        "wk": nrm(ks[1], (L, Hd, Hkv * D), s),
+        "wv": nrm(ks[2], (L, Hd, Hkv * D), s),
+        "wo": nrm(ks[3], (L, Hq * D, Hd), s),
+        "wg": nrm(ks[4], (L, Hd, I), s),
+        "wu": nrm(ks[5], (L, Hd, I), s),
+        "wd": nrm(ks[6], (L, I, Hd), I ** -0.5),
+    }
+    return {
+        "embed": nrm(ks[7], (V, Hd), 1.0),
+        "layers": layers,
+        "ln_f": jnp.ones((Hd,), dtype),
+        "lm_head": nrm(ks[8], (Hd, V), s),
+    }

@@ -1,0 +1,75 @@
+"""Device-honest benchmarking utilities.
+
+The reference uses a timeit fork with `torch.cuda.synchronize()` bracketing
+(`/root/reference/quant/timeit_v2.py:197-256`).  The TPU/axon analogue has
+two twists:
+
+  * `block_until_ready()` over the tunneled runtime acknowledges ENQUEUE,
+    not completion — only a host readback truly synchronizes;
+  * per-dispatch overhead (~0.2-0.5 ms) and readback RTT (~29 ms) would
+    swamp sub-millisecond kernels.
+
+So: run the op in a `lax.fori_loop` INSIDE one jit with a data dependence
+between iterations (so XLA cannot hoist it), bracket with a single scalar
+readback, and difference two iteration counts to cancel all constant
+overheads.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_loop(step: Callable, init_state, iters: int = 50,
+               warmup_iters: int = 5) -> float:
+    """Return seconds per iteration of `step` (state -> state).
+
+    `step` must return a pytree of the same structure as `init_state` and
+    every iteration must consume the previous state (data dependence).
+    """
+
+    def run(n_static, state):
+        def body(_, s):
+            return step(s)
+        return jax.lax.fori_loop(0, n_static, body, state)
+
+    run_w = jax.jit(lambda s: run(warmup_iters, s))
+    run_n = jax.jit(lambda s: run(warmup_iters + iters, s))
+
+    def sync(tree):
+        # force true completion via scalar readback of one leaf
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)) * 0)
+
+    # compile both programs
+    sync(run_w(init_state))
+    sync(run_n(init_state))
+
+    t0 = time.perf_counter()
+    sync(run_w(init_state))
+    t_w = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sync(run_n(init_state))
+    t_n = time.perf_counter() - t0
+
+    return max(t_n - t_w, 1e-9) / iters
+
+
+def bench_fn(fn: Callable, *args, iters: int = 50) -> float:
+    """Benchmark fn(*args) -> array, feeding a scalar derived from the
+    output back into the first argument to enforce data dependence."""
+
+    def step(state):
+        first, rest = state
+        out = fn(first, *rest)
+        # Non-zero multiplier: a literal *0.0 would let XLA's algebraic
+        # simplifier fold the feedback and dead-code-eliminate fn entirely.
+        feedback = jnp.sum(out.astype(jnp.float32)) * 1e-30
+        return (first + feedback.astype(first.dtype), rest)
+
+    return bench_loop(step, (args[0], tuple(args[1:])), iters=iters)

@@ -1,0 +1,92 @@
+"""Pallas kernel vs pure-jnp reference equivalence.
+
+TPU-native analogue of the reference's kernel tests
+(`quant/gemv.py:93-165` MHA/MQA GEMV tests and `quant/test.py:173-202`
+test_4d_qmatmul): the fused dequant matmuls must match a dequantize-then-
+matmul oracle built on kivi_tpu.core.quant.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from kivi_tpu.core import quant as Q
+from kivi_tpu.kernels import qk_dequant_matmul, pv_dequant_matmul
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+@pytest.mark.parametrize("r", [1, 4])
+def test_qk_dequant_matmul_matches_oracle(bits, r):
+    B, H, D, T, gs = 2, 3, 128, 512, 32
+    key = jax.random.PRNGKey(0)
+    k_t = jax.random.normal(key, (B, H, D, T), jnp.float32)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (B, H, r, D),
+                          jnp.float32)
+    k_codes, k_scale, k_mn = Q.quantize_k_block(k_t, gs, bits)
+    oracle = jnp.einsum("bhrd,bhdt->bhrt", q,
+                        Q.dequantize_k(k_codes, k_scale, k_mn, gs, bits))
+    got = qk_dequant_matmul(q, k_codes, k_scale, k_mn, gs, bits,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-4)
+    # fast bf16 path: same result to ~bf16 rounding of scales/q
+    fast = qk_dequant_matmul(q, k_codes, k_scale, k_mn, gs, bits)
+    rel = float(jnp.max(jnp.abs(fast - oracle)) / jnp.max(jnp.abs(oracle)))
+    assert rel < 3e-2, rel
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+@pytest.mark.parametrize("r", [1, 4])
+def test_pv_dequant_matmul_matches_oracle(bits, r):
+    B, H, D, T, gs = 2, 3, 128, 512, 32
+    key = jax.random.PRNGKey(2)
+    v = jax.random.normal(key, (B, H, T, D), jnp.float32)
+    p = jax.nn.softmax(
+        jax.random.normal(jax.random.fold_in(key, 1), (B, H, r, T)), -1)
+    v_codes, v_scale, v_mn = Q.quantize_v_block(v, gs, bits)
+    oracle = jnp.einsum("bhrt,bhtd->bhrd", p,
+                        Q.dequantize_v(v_codes, v_scale, v_mn, gs, bits))
+    got = pv_dequant_matmul(p, v_codes, v_scale, v_mn, gs, bits,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-4)
+    fast = pv_dequant_matmul(p, v_codes, v_scale, v_mn, gs, bits)
+    rel = float(jnp.max(jnp.abs(fast - oracle)) / jnp.max(jnp.abs(oracle)))
+    assert rel < 8e-2, rel
+
+
+def test_qk_small_head_dim_and_t_block():
+    """head_dim 32 (tiny configs) and T not a multiple of the default
+    t_block must still work via t_block clamping."""
+    B, H, D, T, gs, bits = 1, 2, 32, 128, 16, 4
+    key = jax.random.PRNGKey(3)
+    k_t = jax.random.normal(key, (B, H, D, T), jnp.float32)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (B, H, 2, D))
+    k_codes, k_scale, k_mn = Q.quantize_k_block(k_t, gs, bits)
+    oracle = jnp.einsum("bhrd,bhdt->bhrt", q,
+                        Q.dequantize_k(k_codes, k_scale, k_mn, gs, bits))
+    got = qk_dequant_matmul(q, k_codes, k_scale, k_mn, gs, bits,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-4)
+
+
+def test_pv_zero_probs_tail_contributes_nothing():
+    """Masked (zero) probability tail must not perturb the output —
+    the decode path relies on this instead of slicing."""
+    B, H, D, T, gs, bits = 1, 1, 128, 256, 32, 2
+    key = jax.random.PRNGKey(4)
+    v = jax.random.normal(key, (B, H, T, D), jnp.float32)
+    v_codes, v_scale, v_mn = Q.quantize_v_block(v, gs, bits)
+    p = jax.nn.softmax(jax.random.normal(jax.random.fold_in(key, 1),
+                                         (B, H, 1, T)), -1)
+    n = 96
+    pz = p * (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3) < n)
+    got = pv_dequant_matmul(pz, v_codes, v_scale, v_mn, gs, bits,
+                            compute_dtype=jnp.float32)
+    oracle = jnp.einsum(
+        "bhrt,bhtd->bhrd", pz,
+        Q.dequantize_v(v_codes, v_scale, v_mn, gs, bits))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=2e-5, atol=2e-4)

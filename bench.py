@@ -1,0 +1,136 @@
+"""Headline benchmark: KIVI-2 vs fp16-cache decode throughput on one chip.
+
+Methodology mirrors the reference's `mem_spd_test.py` + README claim
+(`/root/reference/README.md:29`: 2.35x-3.47x throughput, up to 4x batch):
+each cache format runs at the LARGEST batch that fits the chip's HBM at a
+fixed context length, and we compare end-to-end decode tokens/s.  The
+fp16 baseline is our own engine with an unquantized static cache (same
+model code, same scan loop) so the comparison isolates the cache format.
+
+Prints ONE JSON line:
+  {"metric": "decode_throughput_speedup_vs_fp16_cache",
+   "value": <kivi_tokens_per_s / fp16_tokens_per_s>, "unit": "x",
+   "vs_baseline": <value / 2.35>}     # 2.35x = reference's lower claim
+
+Details (per-config batch, tokens/s, memory model) go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from kivi_tpu.config import ModelConfig, QuantConfig
+from kivi_tpu.models import modeling
+from kivi_tpu.serving.engine import Engine
+
+# Llama-2-7b attention geometry (MHA, the reference's mem_spd model) at
+# reduced depth so weights leave HBM room for multi-GB caches on one v5e.
+CFG = ModelConfig(
+    vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+    num_layers=8, num_heads=32, num_kv_heads=32, head_dim=128,
+    rope_theta=10000.0, max_position_embeddings=4096,
+)
+KIVI = QuantConfig(k_bits=2, v_bits=2, group_size=32, residual_length=128)
+FP16 = QuantConfig(k_bits=16, v_bits=16, group_size=32, residual_length=128)
+
+CTX = 2048          # max sequence length (cache capacity)
+PROMPT = 256        # prefill length
+STEPS = 192         # decode steps to time
+HBM_BYTES = int(15.75 * 1024**3)  # v5e (XLA reports 15.75G usable)
+RESERVE = 2.5 * 1024**3    # transients (attention logits, activations)
+BASELINE_SPEEDUP = 2.35    # reference README.md:29 lower bound
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def param_bytes(cfg: ModelConfig) -> int:
+    leaves = jax.tree_util.tree_leaves(jax.eval_shape(
+        lambda: modeling.init_params(cfg, jax.random.PRNGKey(0))))
+    return sum(l.size * l.dtype.itemsize for l in leaves)
+
+
+def cache_bytes_per_seq(cfg: ModelConfig, qcfg: QuantConfig, ctx: int) -> int:
+    leaves = jax.tree_util.tree_leaves(jax.eval_shape(
+        lambda: modeling.init_caches(cfg, qcfg, 1, ctx)))
+    return sum(l.size * l.dtype.itemsize for l in leaves)
+
+
+def max_batch(cfg, qcfg, ctx) -> int:
+    budget = HBM_BYTES - RESERVE - param_bytes(cfg)
+    per = cache_bytes_per_seq(cfg, qcfg, ctx)
+    b = int(budget // per)
+    return max(8, (b // 8) * 8)
+
+
+def run_one(qcfg: QuantConfig, batch: int, impl: str) -> float:
+    """Returns decode tokens/s at the given batch."""
+    eng = Engine(cfg=CFG, qcfg=qcfg, params=_PARAMS, max_seq_len=CTX,
+                 batch_size=batch, impl=impl)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, PROMPT), 0,
+                                CFG.vocab_size, jnp.int32)
+    t0 = time.perf_counter()
+    first, caches = eng.prefill(tokens)
+    jax.block_until_ready(first)
+    log(f"  prefill({batch}x{PROMPT}) + compile: "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    pos = jnp.full((batch, 1), PROMPT, jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    # warmup / compile the scan
+    out, caches = eng._decode_scan(_PARAMS, first, pos, caches, rng,
+                                   steps=STEPS, temperature=0.0)
+    jax.block_until_ready(out)
+    # timed run (cache state continues past the warmup region)
+    pos2 = jnp.full((batch, 1), PROMPT + STEPS, jnp.int32)
+    t0 = time.perf_counter()
+    out, caches = eng._decode_scan(_PARAMS, out[:, -1:], pos2, caches, rng,
+                                   steps=STEPS, temperature=0.0)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    del caches
+    tps = batch * STEPS / dt
+    log(f"  decode: {STEPS} steps x batch {batch} in {dt:.2f}s"
+        f" -> {tps:,.0f} tok/s")
+    return tps
+
+
+def main():
+    global _PARAMS
+    on_tpu = jax.default_backend() == "tpu"
+    impl = "pallas" if on_tpu else "jnp"
+    _PARAMS = modeling.init_params(CFG, jax.random.PRNGKey(0))
+    _PARAMS = jax.block_until_ready(_PARAMS)
+
+    b_fp = max_batch(CFG, FP16, CTX)
+    b_kv = max_batch(CFG, KIVI, CTX)
+    if not on_tpu:  # CPU smoke mode
+        b_fp, b_kv = 8, 16
+
+    log(f"weights {param_bytes(CFG)/2**30:.2f} GiB | "
+        f"cache/seq fp16 {cache_bytes_per_seq(CFG, FP16, CTX)/2**20:.0f} MiB"
+        f", kivi2 {cache_bytes_per_seq(CFG, KIVI, CTX)/2**20:.0f} MiB | "
+        f"batch fp16={b_fp} kivi={b_kv}")
+
+    log("fp16-cache baseline:")
+    tps_fp = run_one(FP16, b_fp, impl=impl)
+    log("KIVI-2:")
+    tps_kv = run_one(KIVI, b_kv, impl=impl)
+
+    speedup = tps_kv / tps_fp
+    print(json.dumps({
+        "metric": "decode_throughput_speedup_vs_fp16_cache",
+        "value": round(speedup, 3),
+        "unit": "x",
+        "vs_baseline": round(speedup / BASELINE_SPEEDUP, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

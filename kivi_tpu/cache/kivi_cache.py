@@ -51,8 +51,8 @@ class KiviLayerCache:
     Shapes (B=batch, H=kv heads, D=head_dim, T=max_seq_len, W=residual_length,
     gs=group_size, KDw=D//(32//k_bits), VDw=D//(32//v_bits)):
       k_codes: u32 (B, H, KDw, T)     plane-packed transposed keys
-      k_scale: f32 (B, H, T//gs, D)   per (token-group, channel)
-      k_mn:    f32 (B, H, T//gs, D)
+      k_scale: f32 (B, H, D, T//gs)   per (channel, token-group)
+      k_mn:    f32 (B, H, D, T//gs)
       v_codes: u32 (B, H, VDw, T)     plane-packed transposed values
       v_scale: f32 (B, H, D//gs, T)   per (channel-group, token)
       v_mn:    f32 (B, H, D//gs, T)
@@ -96,8 +96,8 @@ def init_layer_cache(batch: int, num_kv_heads: int, head_dim: int,
     i0 = jnp.zeros((), jnp.int32)
     return KiviLayerCache(
         k_codes=z((B, H, kdw, T), jnp.uint32),
-        k_scale=z((B, H, T // gs, D), jnp.float32),
-        k_mn=z((B, H, T // gs, D), jnp.float32),
+        k_scale=z((B, H, D, T // gs), jnp.float32),
+        k_mn=z((B, H, D, T // gs), jnp.float32),
         v_codes=z((B, H, vdw, T), jnp.uint32),
         v_scale=z((B, H, D // gs, T), jnp.float32),
         v_mn=z((B, H, D // gs, T), jnp.float32),
@@ -112,11 +112,15 @@ def init_layer_cache(batch: int, num_kv_heads: int, head_dim: int,
 # ---------------------------------------------------------------------------
 
 def _append_k_quant(cache: KiviLayerCache, k_block, qcfg: QuantConfig,
-                    n_tokens: int) -> KiviLayerCache:
+                    n_tokens: int, impl: str = "jnp") -> KiviLayerCache:
     """Quantize k_block (B,H,n_tokens,D) and append at n_k_quant."""
     gs = qcfg.group_size
-    codes, scale, mn = Q.quantize_k_block(
-        jnp.swapaxes(k_block, -1, -2), gs, qcfg.k_bits)
+    k_t = jnp.swapaxes(k_block, -1, -2)
+    if impl == "pallas":
+        from kivi_tpu.kernels.quant_pack import quantize_pack_k
+        codes, scale, mn = quantize_pack_k(k_t, gs, qcfg.k_bits)
+    else:
+        codes, scale, mn = Q.quantize_k_block(k_t, gs, qcfg.k_bits)
     off = cache.n_k_quant
     goff = off // gs
     return dataclasses.replace(
@@ -124,18 +128,23 @@ def _append_k_quant(cache: KiviLayerCache, k_block, qcfg: QuantConfig,
         k_codes=jax.lax.dynamic_update_slice(
             cache.k_codes, codes, (0, 0, 0, off)),
         k_scale=jax.lax.dynamic_update_slice(
-            cache.k_scale, scale, (0, 0, goff, 0)),
+            cache.k_scale, scale, (0, 0, 0, goff)),
         k_mn=jax.lax.dynamic_update_slice(
-            cache.k_mn, mn, (0, 0, goff, 0)),
+            cache.k_mn, mn, (0, 0, 0, goff)),
         n_k_quant=off + n_tokens,
     )
 
 
 def _append_v_quant(cache: KiviLayerCache, v_block, qcfg: QuantConfig,
-                    n_tokens: int) -> KiviLayerCache:
+                    n_tokens: int, impl: str = "jnp") -> KiviLayerCache:
     """Quantize v_block (B,H,n_tokens,D) and append at n_v_quant."""
-    codes, scale, mn = Q.quantize_v_block(v_block, qcfg.group_size,
-                                          qcfg.v_bits)
+    if impl == "pallas":
+        from kivi_tpu.kernels.quant_pack import quantize_pack_v
+        codes, scale, mn = quantize_pack_v(
+            jnp.swapaxes(v_block, -1, -2), qcfg.group_size, qcfg.v_bits)
+    else:
+        codes, scale, mn = Q.quantize_v_block(v_block, qcfg.group_size,
+                                              qcfg.v_bits)
     off = cache.n_v_quant
     return dataclasses.replace(
         cache,
@@ -154,7 +163,7 @@ def _append_v_quant(cache: KiviLayerCache, v_block, qcfg: QuantConfig,
 # ---------------------------------------------------------------------------
 
 def prefill_ingest(cache: KiviLayerCache, k, v,
-                   qcfg: QuantConfig) -> KiviLayerCache:
+                   qcfg: QuantConfig, impl: str = "jnp") -> KiviLayerCache:
     """Ingest the whole prompt's post-RoPE K/V (B, H, T, D), T static.
 
     Keys: quantize floor(T/W)*W tokens, window keeps T mod W
@@ -167,7 +176,7 @@ def prefill_ingest(cache: KiviLayerCache, k, v,
 
     nkq = (T // W) * W
     if nkq:
-        cache = _append_k_quant(cache, k[:, :, :nkq, :], qcfg, nkq)
+        cache = _append_k_quant(cache, k[:, :, :nkq, :], qcfg, nkq, impl)
     nkw = T - nkq
     if nkw:
         cache = dataclasses.replace(
@@ -183,7 +192,7 @@ def prefill_ingest(cache: KiviLayerCache, k, v,
     vf = qcfg.value_flush
     nvq = 0 if T <= W else ((T - W + vf - 1) // vf) * vf
     if nvq:
-        cache = _append_v_quant(cache, v[:, :, :nvq, :], qcfg, nvq)
+        cache = _append_v_quant(cache, v[:, :, :nvq, :], qcfg, nvq, impl)
     nvw = T - nvq
     if nvw:
         cache = dataclasses.replace(
@@ -200,7 +209,7 @@ def prefill_ingest(cache: KiviLayerCache, k, v,
 # ---------------------------------------------------------------------------
 
 def decode_append(cache: KiviLayerCache, k_new, v_new,
-                  qcfg: QuantConfig) -> KiviLayerCache:
+                  qcfg: QuantConfig, impl: str = "jnp") -> KiviLayerCache:
     """Append one token's post-RoPE K/V (B, H, 1, D), flushing full windows
     first.  jit-safe: all branches via lax.cond, all shapes static."""
     W = qcfg.residual_length
@@ -208,14 +217,14 @@ def decode_append(cache: KiviLayerCache, k_new, v_new,
     dtype = cache.k_win.dtype
 
     def flush_k(c: KiviLayerCache) -> KiviLayerCache:
-        c = _append_k_quant(c, c.k_win.astype(jnp.float32), qcfg, W)
+        c = _append_k_quant(c, c.k_win.astype(jnp.float32), qcfg, W, impl)
         return dataclasses.replace(c, n_k_win=jnp.int32(0))
 
     cache = jax.lax.cond(cache.n_k_win == W, flush_k, lambda c: c, cache)
 
     def flush_v(c: KiviLayerCache) -> KiviLayerCache:
         oldest = c.v_win[:, :, :vf, :].astype(jnp.float32)
-        c = _append_v_quant(c, oldest, qcfg, vf)
+        c = _append_v_quant(c, oldest, qcfg, vf, impl)
         shifted = jnp.concatenate(
             [c.v_win[:, :, vf:, :], jnp.zeros_like(c.v_win[:, :, :vf, :])],
             axis=-2)

@@ -135,20 +135,22 @@ def quantize_k_block(k_t: jax.Array, group_size: int, bits: int):
     reference `models/llama_kivi.py:133-135`).
 
     Returns:
-      k_codes (B, H, Dw, T) u32, k_scale (B, H, T//gs, D) f32,
-      k_mn (B, H, T//gs, D) f32.
+      k_codes (B, H, Dw, T) u32, k_scale (B, H, D, T//gs) f32,
+      k_mn (B, H, D, T//gs) f32 — token-group axis LAST, like every other
+      stored array (lane-aligned streaming appends, no transposes in the
+      quant or QK kernels).
     """
     codes, scale, mn = quantize_last(k_t, group_size, bits)  # scale (B,H,D,Tg)
     words = pack_planar(codes, bits, axis=-2)
-    return words, jnp.swapaxes(scale, -1, -2), jnp.swapaxes(mn, -1, -2)
+    return words, scale, mn
 
 
 def dequantize_k(k_codes, k_scale, k_mn, group_size: int, bits: int):
-    """(B,H,Dw,T) u32 -> (B,H,D,T) f32 keys (transposed layout)."""
+    """(B,H,Dw,T) u32 -> (B,H,D,T) f32 keys (transposed layout).
+    k_scale/k_mn: (B, H, D, T//gs)."""
     codes = unpack_planar(k_codes, bits, axis=-2)  # (B,H,D,T)
-    scale = jnp.swapaxes(k_scale, -1, -2).astype(jnp.float32)  # (B,H,D,Tg)
-    mn = jnp.swapaxes(k_mn, -1, -2).astype(jnp.float32)
-    return dequantize_last(codes, scale, mn, group_size)
+    return dequantize_last(codes, k_scale.astype(jnp.float32),
+                           k_mn.astype(jnp.float32), group_size)
 
 
 def quantize_v_block(v: jax.Array, group_size: int, bits: int):

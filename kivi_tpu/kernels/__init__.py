@@ -7,8 +7,10 @@ the full test suite works on CPU.
 """
 
 from kivi_tpu.kernels.qk_pv import qk_dequant_matmul, pv_dequant_matmul
+from kivi_tpu.kernels.flash import flash_attention
 
 __all__ = [
     "qk_dequant_matmul",
     "pv_dequant_matmul",
+    "flash_attention",
 ]

@@ -80,20 +80,17 @@ def _group_expand_rows(n_groups: int, n: int, dtype):
 
 def _qk_kernel(q_ref, w_ref, s_ref, m_ref, o_ref, *, bits: int, gs: int,
                cdt):
-    # q (1, r, D) | w (1, Dw, Tblk) u32 | s,m (1, Tgb, D)
+    # q (1, r, D) | w (1, Dw, Tblk) u32 | s,m (1, D, Tgb)
     kw = _dot_kw(cdt)
     q = q_ref[0].astype(cdt)                        # (r, D)
     codes = _unpack_codes(w_ref[0], bits, cdt)      # (D, Tblk)
-    scale = s_ref[0].astype(cdt)                    # (Tgb, D)
+    scale = s_ref[0].astype(cdt)                    # (D, Tgb)
     mn = m_ref[0].astype(cdt)
-    tgb, tblk = scale.shape[0], codes.shape[1]
+    tgb, tblk = scale.shape[1], codes.shape[1]
     expand = _group_expand_rows(tgb, tblk, cdt)     # (Tgb, Tblk)
-    # scale_exp (D, Tblk) = scale^T @ E as a TN dot_general — the MXU does
-    # the transpose; never materialize scale.T (a Mosaic relayout).
-    scale_exp = jax.lax.dot_general(
-        scale, expand, (((0,), (0,)), ((), ())), **kw).astype(cdt)
+    scale_exp = jnp.dot(scale, expand, **kw).astype(cdt)  # (D, Tblk)
     att = jnp.dot(q, codes * scale_exp, **kw)       # f32 accum
-    qmn = jax.lax.dot_general(q, mn, (((1,), (1,)), ((), ())), **kw)
+    qmn = jnp.dot(q, mn, **kw)                      # (r, Tgb)
     att += jnp.dot(qmn.astype(cdt), expand, **kw)
     o_ref[0] = att
 
@@ -105,7 +102,7 @@ def qk_dequant_matmul(qg, k_codes, k_scale, k_mn, group_size: int, bits: int,
                       t_block: int = 2048, compute_dtype=jnp.bfloat16):
     """att = qg @ dequant(K): (B,H,r,D) x (B,H,Dw,T) -> (B,H,r,T) f32.
 
-    k_scale/k_mn: (B, H, T//gs, D).  Contract of the reference's
+    k_scale/k_mn: (B, H, D, T//gs).  Contract of the reference's
     `cuda_bmm_fA_qB_outer(group_size, fA, qB, scales, zeros, bits)`
     (`quant/matmul.py:178`), with our transposed plane-packed layout.
     """
@@ -129,9 +126,9 @@ def qk_dequant_matmul(qg, k_codes, k_scale, k_mn, group_size: int, bits: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Dw, t_block), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tgb, D), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, D, tgb), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tgb, D), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, D, tgb), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, r, t_block), lambda b, t: (b, 0, t),
@@ -141,8 +138,8 @@ def qk_dequant_matmul(qg, k_codes, k_scale, k_mn, group_size: int, bits: int,
     )(
         qg.astype(compute_dtype).reshape(BH, r, D),
         k_codes.reshape(BH, Dw, T),
-        k_scale.astype(compute_dtype).reshape(BH, T // gs, D),
-        k_mn.astype(compute_dtype).reshape(BH, T // gs, D),
+        k_scale.astype(compute_dtype).reshape(BH, D, T // gs),
+        k_mn.astype(compute_dtype).reshape(BH, D, T // gs),
     )
     return out.reshape(B, H, r, T)
 

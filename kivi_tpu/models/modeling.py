@@ -95,18 +95,18 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
 
     if mode == "prefill":
         out = prefill_attention(q, k, v, sliding_window=cfg.sliding_window,
-                                impl="jnp")
+                                impl=impl)
         if isinstance(cache, FpLayerCache):
             cache = fp_append(cache, k, v)
         else:
-            cache = KC.prefill_ingest(cache, k, v, qcfg)
+            cache = KC.prefill_ingest(cache, k, v, qcfg, impl)
     else:
         if isinstance(cache, FpLayerCache):
             cache = fp_append(cache, k, v)
             out = fp_decode_attention(q, cache,
                                       sliding_window=cfg.sliding_window)
         else:
-            cache = KC.decode_append(cache, k, v, qcfg)
+            cache = KC.decode_append(cache, k, v, qcfg, impl)
             out = decode_attention(q, cache, qcfg, impl=impl,
                                    sliding_window=cfg.sliding_window)
 
@@ -130,20 +130,40 @@ def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl):
 
 def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             qcfg: QuantConfig, positions: jax.Array, *, mode: str,
-            impl: str = "jnp") -> Tuple[jax.Array, Any]:
+            impl: str = "jnp", last_only: bool = False) -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 global positions.
 
-    Returns (logits (B, T, vocab) f32, new caches).
+    Returns (logits (B, T, vocab) f32, new caches).  With last_only,
+    logits are (B, 1, vocab) for the final position — generation never
+    needs the full (B, T, vocab) f32 tensor, which at bench batch sizes
+    is multiple GB.
     """
     x = params["embed"][tokens]
 
-    def body(h, layer):
-        lp, lc = layer
+    # The stacked caches ride the scan CARRY and are updated in place with
+    # dynamic_update_index.  Passing them as xs (sliced inputs) + stacked
+    # ys (outputs) prevents XLA from aliasing the input buffer with the
+    # output — measured on v5e that held TWO copies of the multi-GB cache
+    # and OOMed the bench config.
+    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+
+    def body(carry, layer):
+        h, caches = carry
+        lp, i = layer
+        lc = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+            caches)
         h, lc = _decoder_layer(h, lp, lc, cfg, qcfg, positions,
                                mode=mode, impl=impl)
-        return h, lc
+        caches = jax.tree_util.tree_map(
+            lambda a, u: jax.lax.dynamic_update_index_in_dim(a, u, i, 0),
+            caches, lc)
+        return (h, caches), None
 
-    x, caches = jax.lax.scan(body, x, (params["layers"], caches))
+    (x, caches), _ = jax.lax.scan(
+        body, (x, caches), (params["layers"], layer_ids))
+    if last_only:
+        x = x[:, -1:, :]
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return logits, caches
@@ -151,15 +171,22 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
 
 def init_caches(cfg: ModelConfig, qcfg: QuantConfig, batch: int,
                 max_seq_len: int, dtype=jnp.bfloat16):
-    """Stacked per-layer caches (leading axis = layers) for lax.scan."""
-    def one(_):
+    """Stacked per-layer caches (leading axis = layers) for lax.scan.
+
+    Allocated directly at the stacked shape — stacking L per-layer
+    copies would transiently double cache HBM, which matters at the
+    multi-GB cache sizes the benchmarks run at.
+    """
+    def one():
         if qcfg.quantize_kv:
             return KC.init_layer_cache(batch, cfg.num_kv_heads, cfg.head_dim,
                                        max_seq_len, qcfg, dtype)
         return init_fp_cache(batch, cfg.num_kv_heads, cfg.head_dim,
                              max_seq_len, dtype)
-    caches = [one(i) for i in range(cfg.num_layers)]
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *caches)
+    shapes = jax.eval_shape(one)
+    L = cfg.num_layers
+    return jax.tree_util.tree_map(
+        lambda s: jnp.zeros((L, *s.shape), s.dtype), shapes)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,24 @@
+"""Multi-chip parallelism: mesh construction + sharding specs.
+
+New first-class subsystem relative to the reference, which has no
+distributed backend at all (SURVEY.md §2.2 parallelism census).
+"""
+
+from kivi_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    auto_mesh_shape,
+    cache_pspecs,
+    make_mesh,
+    param_pspecs,
+    shard_caches,
+    shard_params,
+    shard_tokens,
+    token_pspec,
+)
+
+__all__ = [
+    "DATA_AXIS", "MODEL_AXIS", "auto_mesh_shape", "cache_pspecs",
+    "make_mesh", "param_pspecs", "shard_caches", "shard_params",
+    "shard_tokens", "token_pspec",
+]

@@ -35,13 +35,22 @@ class Engine:
     cache_dtype = jnp.bfloat16
 
     def __post_init__(self):
-        self._prefill = jax.jit(functools.partial(
-            self._prefill_fn, cfg=self.cfg, qcfg=self.qcfg, impl=self.impl))
-        self._decode = jax.jit(functools.partial(
-            self._decode_fn, cfg=self.cfg, qcfg=self.qcfg, impl=self.impl))
-        self._decode_scan = jax.jit(functools.partial(
-            self._decode_scan_fn, cfg=self.cfg, qcfg=self.qcfg,
-            impl=self.impl), static_argnames=("steps", "temperature"))
+        # Cache buffers are donated: at bench batch sizes the stacked KV
+        # cache is most of HBM, and without aliasing every step would
+        # hold input+output copies.
+        self._prefill = jax.jit(
+            functools.partial(self._prefill_fn, cfg=self.cfg,
+                              qcfg=self.qcfg, impl=self.impl),
+            donate_argnums=(2,))
+        self._decode = jax.jit(
+            functools.partial(self._decode_fn, cfg=self.cfg,
+                              qcfg=self.qcfg, impl=self.impl),
+            donate_argnums=(3,))
+        self._decode_scan = jax.jit(
+            functools.partial(self._decode_scan_fn, cfg=self.cfg,
+                              qcfg=self.qcfg, impl=self.impl),
+            static_argnames=("steps", "temperature"),
+            donate_argnums=(3,))
 
     # -- jitted bodies ----------------------------------------------------
 
@@ -51,7 +60,7 @@ class Engine:
         positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
         logits, caches = modeling.forward(
             params, tokens, caches, cfg, qcfg, positions,
-            mode="prefill", impl=impl)
+            mode="prefill", impl=impl, last_only=True)
         return logits[:, -1, :], caches
 
     @staticmethod

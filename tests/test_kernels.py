@@ -90,3 +90,51 @@ def test_pv_zero_probs_tail_contributes_nothing():
         Q.dequantize_v(v_codes, v_scale, v_mn, gs, bits))
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
                                rtol=2e-5, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# quantize+pack kernels vs the jnp reference (core.quant)
+# ---------------------------------------------------------------------------
+
+from kivi_tpu.kernels.quant_pack import quantize_pack_k, quantize_pack_v
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_quantize_pack_k_matches_reference(bits):
+    B, H, D, T = 2, 3, 128, 256
+    gs = 32
+    k_t = jax.random.normal(jax.random.PRNGKey(7), (B, H, D, T), jnp.float32)
+    ref_c, ref_s, ref_m = Q.quantize_k_block(k_t, gs, bits)
+    got_c, got_s, got_m = quantize_pack_k(k_t, gs, bits, t_block=128)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m),
+                               rtol=1e-6)
+    # codes may differ by 1 at exact rounding ties (reciprocal-multiply vs
+    # divide); dequantized values must agree within one scale step.
+    d_ref = Q.dequantize_k(ref_c, ref_s, ref_m, gs, bits)
+    d_got = Q.dequantize_k(got_c, got_s, got_m, gs, bits)
+    step = np.repeat(np.asarray(ref_s), gs, axis=-1)
+    assert np.all(np.abs(np.asarray(d_got - d_ref)) <= step + 1e-6)
+    exact = (np.asarray(got_c) == np.asarray(ref_c)).mean()
+    assert exact > 0.999
+
+
+@pytest.mark.parametrize("bits", [2, 4])
+def test_quantize_pack_v_matches_reference(bits):
+    B, H, T, D = 2, 2, 192, 128
+    gs = 32
+    v = jax.random.normal(jax.random.PRNGKey(9), (B, H, T, D), jnp.float32)
+    ref_c, ref_s, ref_m = Q.quantize_v_block(v, gs, bits)
+    got_c, got_s, got_m = quantize_pack_v(
+        jnp.swapaxes(v, -1, -2), gs, bits, t_block=64)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(ref_m),
+                               rtol=1e-6)
+    d_ref = Q.dequantize_v(ref_c, ref_s, ref_m, gs, bits)
+    d_got = Q.dequantize_v(got_c, got_s, got_m, gs, bits)
+    step = np.repeat(np.asarray(jnp.swapaxes(ref_s, -1, -2)), gs, axis=-1)
+    assert np.all(np.abs(np.asarray(d_got - d_ref)) <= step + 1e-6)
+    exact = (np.asarray(got_c) == np.asarray(ref_c)).mean()
+    assert exact > 0.999

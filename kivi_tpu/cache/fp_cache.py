@@ -23,7 +23,11 @@ import jax.numpy as jnp
 )
 @dataclasses.dataclass
 class FpLayerCache:
-    """k, v: (B, H, Tmax, D); length: i32 valid token count."""
+    """k: (B, H, D, Tmax) TRANSPOSED (token axis last, like the KIVI
+    stores - appends are lane writes, and the decode QK contraction
+    consumes it directly; storing (B,H,T,D) made XLA relayout-copy the
+    whole multi-GB buffer inside the decode loop on v5e).
+    v: (B, H, Tmax, D); length: i32 valid token count."""
 
     k: jax.Array
     v: jax.Array
@@ -35,13 +39,15 @@ class FpLayerCache:
 
     @property
     def max_seq_len(self) -> int:
-        return self.k.shape[-2]
+        return self.k.shape[-1]
 
 
 def init_fp_cache(batch: int, num_kv_heads: int, head_dim: int,
                   max_seq_len: int, dtype=jnp.bfloat16) -> FpLayerCache:
-    z = jnp.zeros((batch, num_kv_heads, max_seq_len, head_dim), dtype)
-    return FpLayerCache(k=z, v=z, length=jnp.zeros((), jnp.int32))
+    return FpLayerCache(
+        k=jnp.zeros((batch, num_kv_heads, head_dim, max_seq_len), dtype),
+        v=jnp.zeros((batch, num_kv_heads, max_seq_len, head_dim), dtype),
+        length=jnp.zeros((), jnp.int32))
 
 
 def fp_append(cache: FpLayerCache, k_new, v_new) -> FpLayerCache:
@@ -50,7 +56,8 @@ def fp_append(cache: FpLayerCache, k_new, v_new) -> FpLayerCache:
     off = cache.length
     return FpLayerCache(
         k=jax.lax.dynamic_update_slice(
-            cache.k, k_new.astype(cache.k.dtype), (0, 0, off, 0)),
+            cache.k, jnp.swapaxes(k_new, -1, -2).astype(cache.k.dtype),
+            (0, 0, 0, off)),
         v=jax.lax.dynamic_update_slice(
             cache.v, v_new.astype(cache.v.dtype), (0, 0, off, 0)),
         length=off + t,
@@ -58,17 +65,27 @@ def fp_append(cache: FpLayerCache, k_new, v_new) -> FpLayerCache:
 
 
 def fp_decode_attention(q: jax.Array, cache: FpLayerCache,
-                        sliding_window: Optional[int] = None) -> jax.Array:
+                        sliding_window: Optional[int] = None,
+                        impl: str = "jnp") -> jax.Array:
     """Exact single-token decode attention over the fp cache.
 
-    q: (B, Hq, 1, D) -> (B, Hq, 1, D) f32.
+    q: (B, Hq, 1, D) -> (B, Hq, 1, D) f32.  impl="pallas" uses the fused
+    flash-decode kernel (kernels/fp_decode.py) — one pass over the cache,
+    no logit tensor in HBM, no XLA cache relayouts.
     """
     B, Hq, M, D = q.shape
     Hkv = cache.k.shape[1]
     r = Hq // Hkv
     Tmax = cache.max_seq_len
-    qg = q.reshape(B, Hkv, r, D).astype(jnp.bfloat16)
-    att = jnp.einsum("bhrd,bhtd->bhrt", qg, cache.k).astype(jnp.float32)
+    qg = q.reshape(B, Hkv, r, D)
+    if impl == "pallas":
+        from kivi_tpu.kernels.fp_decode import fp_decode_attention_kernel
+        out = fp_decode_attention_kernel(
+            qg, cache.k, cache.v, cache.length,
+            sliding_window=sliding_window)
+        return out.reshape(B, Hq, M, D)
+    att = jnp.einsum("bhrd,bhdt->bhrt", qg.astype(jnp.bfloat16),
+                     cache.k).astype(jnp.float32)
     att = att / (D ** 0.5)
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Tmax), 3)
     valid = pos < cache.length

@@ -104,7 +104,8 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
         if isinstance(cache, FpLayerCache):
             cache = fp_append(cache, k, v)
             out = fp_decode_attention(q, cache,
-                                      sliding_window=cfg.sliding_window)
+                                      sliding_window=cfg.sliding_window,
+                                      impl=impl)
         else:
             cache = KC.decode_append(cache, k, v, qcfg, impl)
             out = decode_attention(q, cache, qcfg, impl=impl,

@@ -138,3 +138,29 @@ def test_quantize_pack_v_matches_reference(bits):
     assert np.all(np.abs(np.asarray(d_got - d_ref)) <= step + 1e-6)
     exact = (np.asarray(got_c) == np.asarray(ref_c)).mean()
     assert exact > 0.999
+
+
+# ---------------------------------------------------------------------------
+# fused fp decode attention kernel vs the jnp fp path
+# ---------------------------------------------------------------------------
+
+from kivi_tpu.cache.fp_cache import (FpLayerCache, fp_append,
+                                     fp_decode_attention, init_fp_cache)
+
+
+@pytest.mark.parametrize("sliding_window", [None, 48])
+def test_fp_decode_kernel_matches_jnp(sliding_window):
+    B, Hq, Hkv, D, Tmax = 2, 8, 4, 128, 256
+    cache = init_fp_cache(B, Hkv, D, Tmax)
+    k = jax.random.normal(jax.random.PRNGKey(0), (B, Hkv, 100, D),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(1), (B, Hkv, 100, D),
+                          jnp.bfloat16)
+    cache = fp_append(cache, k, v)
+    q = jax.random.normal(jax.random.PRNGKey(2), (B, Hq, 1, D), jnp.float32)
+    ref = fp_decode_attention(q, cache, sliding_window=sliding_window,
+                              impl="jnp")
+    got = fp_decode_attention(q, cache, sliding_window=sliding_window,
+                              impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)

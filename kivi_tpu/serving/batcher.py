@@ -1,0 +1,217 @@
+"""Continuous batching: slot-based serving over per-slot KIVI caches.
+
+The reference has NO serving layer — it binds to the HF `generate()`
+loop, one static batch per call (SURVEY.md: "It is NOT a serving
+framework").  This subsystem is new, TPU-first scope: a fixed pool of
+`num_slots` sequence slots, each with its own cache position, admitted
+and retired independently while one jitted decode program steps ALL
+active slots together every iteration.
+
+Design:
+  * The stacked caches carry a SLOT axis where the engine has a batch
+    axis; per-slot counters come from `jax.vmap` over the single-request
+    cache update (`decode_append`'s flush `lax.cond`s become `select`s
+    under vmap — both branches are computed for every slot every step,
+    the price of divergent per-slot window phases; revisit with a fused
+    kernel if it shows up in profiles).
+  * Admission: a new request is prefilled alone (per-prompt-length
+    bucketed jit) and its cache state is written into the free slot via
+    tree-wide dynamic_update at the slot index.
+  * Retirement: a slot frees when EOS is sampled or max_new_tokens is
+    reached; freed slots keep decoding garbage but are masked out of the
+    cache append (select keeps the old state) and their tokens dropped.
+
+The KIVI cache makes slots cheap: at 2-bit + fp16 residual window, one
+32K-token slot of a 7B model costs ~0.6 GiB instead of ~4 GiB (why the
+reference advertises "up to 4x larger batch", README.md:29).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from collections import deque
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kivi_tpu.config import ModelConfig, QuantConfig
+from kivi_tpu.models import modeling
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: List[int]
+    max_new_tokens: int
+    eos_token_id: Optional[int] = None
+
+
+@dataclasses.dataclass
+class Result:
+    uid: int
+    tokens: List[int]
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
+
+
+class ContinuousBatcher:
+    """Synchronous continuous-batching loop (one host, one program)."""
+
+    def __init__(self, cfg: ModelConfig, qcfg: QuantConfig, params,
+                 num_slots: int, max_seq_len: int, impl: str = "jnp",
+                 prompt_buckets=(128, 256, 512, 1024, 2048, 4096)):
+        self.cfg, self.qcfg, self.params = cfg, qcfg, params
+        self.S, self.T = num_slots, max_seq_len
+        self.impl = impl
+        self.prompt_buckets = tuple(
+            b for b in prompt_buckets if b <= max_seq_len)
+
+        # slot-axis caches: one single-sequence cache vmapped over slots
+        one = lambda: modeling.init_caches(cfg, qcfg, 1, max_seq_len)
+        shapes = jax.eval_shape(one)
+        self.caches = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((num_slots, *s.shape), s.dtype), shapes)
+
+        # host-side slot table
+        self.active = np.zeros(num_slots, bool)
+        self.slot_req: List[Optional[Request]] = [None] * num_slots
+        self.slot_out: List[List[int]] = [[] for _ in range(num_slots)]
+        self.queue: deque[Request] = deque()
+        self.results: Dict[int, Result] = {}
+
+        # device-side per-slot state
+        self.cur_tok = jnp.zeros((num_slots, 1), jnp.int32)
+        self.pos = jnp.zeros((num_slots, 1), jnp.int32)
+        self.act_dev = jnp.zeros((num_slots,), jnp.bool_)
+
+        self._prefills: Dict[int, Callable] = {}
+        self._decode = jax.jit(functools.partial(
+            self._decode_all, cfg=cfg, qcfg=qcfg, impl=impl),
+            donate_argnums=(3,))
+
+    # -- jitted bodies ------------------------------------------------------
+
+    def _make_prefill(self, bucket: int):
+        cfg, qcfg, impl = self.cfg, self.qcfg, self.impl
+
+        def fn(params, tokens, cache):
+            # tokens (1, bucket): one jit per prompt-length bucket.
+            B, T = tokens.shape
+            positions = jnp.broadcast_to(
+                jnp.arange(T, dtype=jnp.int32), (B, T))
+            logits, cache = modeling.forward(
+                params, tokens, cache, cfg, qcfg, positions,
+                mode="prefill", impl=impl, last_only=True)
+            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            return nxt, cache
+
+        return jax.jit(fn)
+
+    @staticmethod
+    def _decode_all(params, tok, pos, caches, active, *, cfg, qcfg, impl):
+        """One decode step for all slots. tok/pos (S,1); active (S,)."""
+
+        def one(tok1, pos1, cache1, act1):
+            logits, new_cache = modeling.forward(
+                params, tok1[None], cache1, cfg, qcfg, pos1[None],
+                mode="decode", impl=impl)
+            # inactive slots keep their old cache (masked select)
+            cache = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    act1.reshape((1,) * n.ndim), n, o),
+                new_cache, cache1)
+            nxt = jnp.argmax(logits[0, -1], -1).astype(jnp.int32)
+            return nxt, cache
+
+        nxt, caches = jax.vmap(one, in_axes=(0, 0, 0, 0))(
+            tok, pos, caches, active)  # tok1 (1,) -> [None] = (1, 1)
+        return nxt, caches
+
+    # -- host-side loop -----------------------------------------------------
+
+    def submit(self, req: Request):
+        self.queue.append(req)
+
+    def _admit(self):
+        while self.queue and not self.active.all():
+            req = self.queue[0]
+            if len(req.prompt) + req.max_new_tokens > self.T:
+                self.queue.popleft()
+                self.results[req.uid] = Result(req.uid, [])  # rejected
+                continue
+            slot = int(np.argmin(self.active))
+            req = self.queue.popleft()
+            bucket = _bucket(len(req.prompt), self.prompt_buckets)
+            if bucket not in self._prefills:
+                self._prefills[bucket] = self._make_prefill(bucket)
+            # Prompts are right-padded to the bucket by repeating the
+            # final token; generation then conditions on the padded
+            # prompt (the repeated tail is part of the sequence).  For
+            # exactness-sensitive evals pick buckets matching the true
+            # lengths — the engine API (serving.engine) runs exact
+            # shapes; the batcher trades tail-padding for few compiles.
+            prompt = list(req.prompt)
+            pad = bucket - len(prompt)
+            padded = prompt + [prompt[-1]] * pad
+            cache1 = jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape[1:], a.dtype), self.caches)
+            nxt, cache1 = self._prefills[bucket](
+                self.params, jnp.asarray([padded], jnp.int32), cache1)
+            # write slot state
+            self.caches = jax.tree_util.tree_map(
+                lambda big, one: jax.lax.dynamic_update_index_in_dim(
+                    big, one, slot, 0), self.caches, cache1)
+            self.cur_tok = self.cur_tok.at[slot, 0].set(nxt[0])
+            self.pos = self.pos.at[slot, 0].set(bucket)
+            self.act_dev = self.act_dev.at[slot].set(True)
+            self.active[slot] = True
+            self.slot_req[slot] = req
+            self.slot_out[slot] = [int(nxt[0])]
+
+    def _retire(self):
+        for s in range(self.S):
+            req = self.slot_req[s]
+            if req is None:
+                continue
+            out = self.slot_out[s]
+            done = len(out) >= req.max_new_tokens or (
+                req.eos_token_id is not None and out
+                and out[-1] == req.eos_token_id)
+            if done:
+                self.results[req.uid] = Result(req.uid, out)
+                self.active[s] = False
+                self.act_dev = self.act_dev.at[s].set(False)
+                self.slot_req[s] = None
+                self.slot_out[s] = []
+
+    def step(self):
+        """Admit pending requests, run one decode step, harvest tokens."""
+        self._retire()
+        self._admit()
+        if not self.active.any():
+            return
+        nxt, self.caches = self._decode(
+            self.params, self.cur_tok, self.pos, self.caches, self.act_dev)
+        nxt_host = np.asarray(nxt)
+        self.cur_tok = nxt[:, None]
+        self.pos = self.pos + self.act_dev.astype(jnp.int32)[:, None]
+        for s in range(self.S):
+            if self.active[s] and self.slot_req[s] is not None:
+                self.slot_out[s].append(int(nxt_host[s]))
+
+    def run(self, requests: List[Request]) -> Dict[int, Result]:
+        """Drive until every submitted request completes."""
+        for r in requests:
+            self.submit(r)
+        while self.queue or self.active.any():
+            self.step()
+        self._retire()
+        return self.results

@@ -37,8 +37,15 @@ def bench_loop(step: Callable, init_state, iters: int = 50,
             return step(s)
         return jax.lax.fori_loop(0, n_static, body, state)
 
-    run_w = jax.jit(lambda s: run(warmup_iters, s))
-    run_n = jax.jit(lambda s: run(warmup_iters + iters, s))
+    # Donate the state so multi-GB benchmark states (e.g. KV caches) are
+    # not double-buffered across the jit boundary; feed each invocation
+    # a fresh copy since donation consumes the argument.
+    run_w = jax.jit(lambda s: run(warmup_iters, s), donate_argnums=(0,))
+    run_n = jax.jit(lambda s: run(warmup_iters + iters, s),
+                    donate_argnums=(0,))
+
+    def fresh():
+        return jax.tree_util.tree_map(jnp.copy, init_state)
 
     def sync(tree):
         # force true completion via scalar readback of one leaf
@@ -46,15 +53,17 @@ def bench_loop(step: Callable, init_state, iters: int = 50,
         return float(jnp.sum(leaf.astype(jnp.float32)) * 0)
 
     # compile both programs
-    sync(run_w(init_state))
-    sync(run_n(init_state))
+    sync(run_w(fresh()))
+    sync(run_n(fresh()))
 
+    s = fresh()
     t0 = time.perf_counter()
-    sync(run_w(init_state))
+    sync(run_w(s))
     t_w = time.perf_counter() - t0
 
+    s = fresh()
     t0 = time.perf_counter()
-    sync(run_n(init_state))
+    sync(run_n(s))
     t_n = time.perf_counter() - t0
 
     return max(t_n - t_w, 1e-9) / iters

@@ -1,0 +1,81 @@
+"""Continuous batcher vs the plain engine (the oracle).
+
+Each request's output must equal what the single-sequence engine
+produces for the same (bucket-padded) prompt — slot interleaving,
+admission order and retirement must not change any sequence's tokens.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kivi_tpu.config import QuantConfig, tiny_config
+from kivi_tpu.models import modeling
+from kivi_tpu.serving.batcher import ContinuousBatcher, Request
+from kivi_tpu.serving.engine import Engine
+
+CFG = tiny_config()
+QCFG = QuantConfig(k_bits=2, v_bits=2, group_size=32, residual_length=32)
+MAX = 256
+BUCKETS = (32, 64)
+
+
+def _oracle(params, prompt, max_new, bucket):
+    padded = list(prompt) + [prompt[-1]] * (bucket - len(prompt))
+    eng = Engine(cfg=CFG, qcfg=QCFG, params=params, max_seq_len=MAX,
+                 batch_size=1)
+    out = eng.generate(jnp.asarray([padded], jnp.int32), max_new)
+    return [int(t) for t in np.asarray(out[0])]
+
+
+@pytest.mark.parametrize("quant", [True, False])
+def test_batcher_matches_engine(quant):
+    qcfg = QCFG if quant else QuantConfig(k_bits=16, v_bits=16,
+                                          group_size=32, residual_length=32)
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, CFG.vocab_size, size=n))
+               for n in (20, 32, 45, 17)]
+    reqs = [Request(uid=i, prompt=p, max_new_tokens=6 + i)
+            for i, p in enumerate(prompts)]
+
+    bat = ContinuousBatcher(CFG, qcfg, params, num_slots=2,
+                            max_seq_len=MAX, prompt_buckets=BUCKETS)
+    results = bat.run(reqs)
+    assert sorted(results) == [0, 1, 2, 3]
+
+    for req in reqs:
+        bucket = 32 if len(req.prompt) <= 32 else 64
+        eng = Engine(cfg=CFG, qcfg=qcfg, params=params, max_seq_len=MAX,
+                     batch_size=1)
+        padded = list(req.prompt) + [req.prompt[-1]] * (bucket - len(req.prompt))
+        want = [int(t) for t in np.asarray(
+            eng.generate(jnp.asarray([padded], jnp.int32),
+                         req.max_new_tokens)[0])]
+        got = results[req.uid].tokens
+        assert got == want, (req.uid, got, want)
+
+
+def test_batcher_eos_retires_slot():
+    params = modeling.init_params(CFG, jax.random.PRNGKey(1))
+    prompt = list(np.random.RandomState(1).randint(1, 200, size=16))
+    # run once to learn the 2nd generated token, then use it as "eos"
+    bat = ContinuousBatcher(CFG, QCFG, params, num_slots=1,
+                            max_seq_len=MAX, prompt_buckets=BUCKETS)
+    full = bat.run([Request(uid=0, prompt=prompt, max_new_tokens=8)])
+    toks = full[0].tokens
+    eos = toks[2]
+    bat2 = ContinuousBatcher(CFG, QCFG, params, num_slots=1,
+                             max_seq_len=MAX, prompt_buckets=BUCKETS)
+    res = bat2.run([Request(uid=0, prompt=prompt, max_new_tokens=8,
+                            eos_token_id=eos)])
+    assert res[0].tokens == toks[:3]
+
+
+def test_batcher_rejects_oversized():
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0))
+    bat = ContinuousBatcher(CFG, QCFG, params, num_slots=1,
+                            max_seq_len=64, prompt_buckets=(32,))
+    res = bat.run([Request(uid=7, prompt=[1] * 30, max_new_tokens=100)])
+    assert res[7].tokens == []

@@ -51,11 +51,11 @@ class KiviLayerCache:
     Shapes (B=batch, H=kv heads, D=head_dim, T=max_seq_len, W=residual_length,
     gs=group_size, KDw=D//(32//k_bits), VDw=D//(32//v_bits)):
       k_codes: u32 (B, H, KDw, T)     plane-packed transposed keys
-      k_scale: f32 (B, H, D, T//gs)   per (channel, token-group)
-      k_mn:    f32 (B, H, D, T//gs)
+      k_scale: (B, H, D, T//gs)       per (channel, token-group), scale_dtype
+      k_mn:    (B, H, D, T//gs)
       v_codes: u32 (B, H, VDw, T)     plane-packed transposed values
-      v_scale: f32 (B, H, D//gs, T)   per (channel-group, token)
-      v_mn:    f32 (B, H, D//gs, T)
+      v_scale: (B, H, D//gs, T)       per (channel-group, token), scale_dtype
+      v_mn:    (B, H, D//gs, T)
       k_win:   (B, H, W, D) fp window of recent keys
       v_win:   (B, H, W, D) fp window of recent values
       n_*:     i32 scalars - valid token counts (quant stores / windows)
@@ -93,14 +93,15 @@ def init_layer_cache(batch: int, num_kv_heads: int, head_dim: int,
     vdw = Q.num_words(head_dim, qcfg.v_bits)
     B, H, D, T = batch, num_kv_heads, head_dim, max_seq_len
     z = jnp.zeros
+    sdt = jnp.dtype(qcfg.scale_dtype)
     i0 = jnp.zeros((), jnp.int32)
     return KiviLayerCache(
         k_codes=z((B, H, kdw, T), jnp.uint32),
-        k_scale=z((B, H, D, T // gs), jnp.float32),
-        k_mn=z((B, H, D, T // gs), jnp.float32),
+        k_scale=z((B, H, D, T // gs), sdt),
+        k_mn=z((B, H, D, T // gs), sdt),
         v_codes=z((B, H, vdw, T), jnp.uint32),
-        v_scale=z((B, H, D // gs, T), jnp.float32),
-        v_mn=z((B, H, D // gs, T), jnp.float32),
+        v_scale=z((B, H, D // gs, T), sdt),
+        v_mn=z((B, H, D // gs, T), sdt),
         k_win=z((B, H, W, D), dtype),
         v_win=z((B, H, W, D), dtype),
         n_k_quant=i0, n_k_win=i0, n_v_quant=i0, n_v_win=i0,
@@ -123,14 +124,15 @@ def _append_k_quant(cache: KiviLayerCache, k_block, qcfg: QuantConfig,
         codes, scale, mn = Q.quantize_k_block(k_t, gs, qcfg.k_bits)
     off = cache.n_k_quant
     goff = off // gs
+    sdt = cache.k_scale.dtype
     return dataclasses.replace(
         cache,
         k_codes=jax.lax.dynamic_update_slice(
             cache.k_codes, codes, (0, 0, 0, off)),
         k_scale=jax.lax.dynamic_update_slice(
-            cache.k_scale, scale, (0, 0, 0, goff)),
+            cache.k_scale, scale.astype(sdt), (0, 0, 0, goff)),
         k_mn=jax.lax.dynamic_update_slice(
-            cache.k_mn, mn, (0, 0, 0, goff)),
+            cache.k_mn, mn.astype(sdt), (0, 0, 0, goff)),
         n_k_quant=off + n_tokens,
     )
 
@@ -146,14 +148,15 @@ def _append_v_quant(cache: KiviLayerCache, v_block, qcfg: QuantConfig,
         codes, scale, mn = Q.quantize_v_block(v_block, qcfg.group_size,
                                               qcfg.v_bits)
     off = cache.n_v_quant
+    sdt = cache.v_scale.dtype
     return dataclasses.replace(
         cache,
         v_codes=jax.lax.dynamic_update_slice(
             cache.v_codes, codes, (0, 0, 0, off)),
         v_scale=jax.lax.dynamic_update_slice(
-            cache.v_scale, scale, (0, 0, 0, off)),
+            cache.v_scale, scale.astype(sdt), (0, 0, 0, off)),
         v_mn=jax.lax.dynamic_update_slice(
-            cache.v_mn, mn, (0, 0, 0, off)),
+            cache.v_mn, mn.astype(sdt), (0, 0, 0, off)),
         n_v_quant=off + n_tokens,
     )
 

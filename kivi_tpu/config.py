@@ -41,6 +41,12 @@ class QuantConfig:
     group_size: int = 32
     residual_length: int = 128
     v_flush: int = 0  # 0 => group_size
+    # Storage dtype for per-group scales/zero-points.  The reference
+    # stores fp16 (`quant/new_pack.py:240-241` casts to input dtype);
+    # bf16 is the TPU analogue and halves scale-store bytes vs f32 —
+    # at group_size=32 scales are 50% of the 2-bit store.  "float32"
+    # for bit-exact comparisons against the jnp reference.
+    scale_dtype: str = "bfloat16"
 
     def __post_init__(self):
         for b in (self.k_bits, self.v_bits):

@@ -131,38 +131,51 @@ def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl):
 
 def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             qcfg: QuantConfig, positions: jax.Array, *, mode: str,
-            impl: str = "jnp", last_only: bool = False) -> Tuple[jax.Array, Any]:
+            impl: str = "jnp", last_only: bool = False,
+            unroll: bool = True) -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 global positions.
 
     Returns (logits (B, T, vocab) f32, new caches).  With last_only,
     logits are (B, 1, vocab) for the final position — generation never
     needs the full (B, T, vocab) f32 tensor, which at bench batch sizes
     is multiple GB.
+
+    unroll=True (default) lays the layer loop out in Python with STATIC
+    per-layer indices: static leading-axis slices are views and static
+    `.at[i].set` writes alias in place.  The `lax.scan` variant
+    (unroll=False, smaller HLO / faster compiles for deep models) pays
+    a dynamic_index GATHER + dynamic_update SCATTER of each layer's
+    cache slice per step — measured ~14 GB/step of hidden copies at the
+    bench config on v5e.
     """
     x = params["embed"][tokens]
 
-    # The stacked caches ride the scan CARRY and are updated in place with
-    # dynamic_update_index.  Passing them as xs (sliced inputs) + stacked
-    # ys (outputs) prevents XLA from aliasing the input buffer with the
-    # output — measured on v5e that held TWO copies of the multi-GB cache
-    # and OOMed the bench config.
-    layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
+    if unroll:
+        for i in range(cfg.num_layers):
+            lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+            lc = jax.tree_util.tree_map(lambda a: a[i], caches)
+            x, lc = _decoder_layer(x, lp, lc, cfg, qcfg, positions,
+                                   mode=mode, impl=impl)
+            caches = jax.tree_util.tree_map(
+                lambda a, u: a.at[i].set(u), caches, lc)
+    else:
+        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
 
-    def body(carry, layer):
-        h, caches = carry
-        lp, i = layer
-        lc = jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
-            caches)
-        h, lc = _decoder_layer(h, lp, lc, cfg, qcfg, positions,
-                               mode=mode, impl=impl)
-        caches = jax.tree_util.tree_map(
-            lambda a, u: jax.lax.dynamic_update_index_in_dim(a, u, i, 0),
-            caches, lc)
-        return (h, caches), None
+        def body(carry, layer):
+            h, caches = carry
+            lp, i = layer
+            lc = jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, i, 0, keepdims=False), caches)
+            h, lc = _decoder_layer(h, lp, lc, cfg, qcfg, positions,
+                                   mode=mode, impl=impl)
+            caches = jax.tree_util.tree_map(
+                lambda a, u: jax.lax.dynamic_update_index_in_dim(
+                    a, u, i, 0), caches, lc)
+            return (h, caches), None
 
-    (x, caches), _ = jax.lax.scan(
-        body, (x, caches), (params["layers"], layer_ids))
+        (x, caches), _ = jax.lax.scan(
+            body, (x, caches), (params["layers"], layer_ids))
     if last_only:
         x = x[:, -1:, :]
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)

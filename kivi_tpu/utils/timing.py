@@ -78,7 +78,8 @@ def bench_fn(fn: Callable, *args, iters: int = 50) -> float:
         out = fn(first, *rest)
         # Non-zero multiplier: a literal *0.0 would let XLA's algebraic
         # simplifier fold the feedback and dead-code-eliminate fn entirely.
-        feedback = jnp.sum(out.astype(jnp.float32)) * 1e-30
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        feedback = jnp.sum(leaf.astype(jnp.float32)) * 1e-30
         return (first + feedback.astype(first.dtype), rest)
 
     return bench_loop(step, (args[0], tuple(args[1:])), iters=iters)

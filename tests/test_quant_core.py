@@ -122,3 +122,40 @@ def test_v_grouping_axis_is_channels():
     err = np.abs(deq - v)
     assert err[0, 0, :, gs:].max() < 0.2          # other channel group fine
     assert np.delete(err[0, 0, :, :gs], 2, 0).max() < 0.2  # other tokens fine
+
+
+# ---------------------------------------------------------------------------
+# fake-quant simulate mode (reference models/utils_quant.py semantics)
+# ---------------------------------------------------------------------------
+
+from kivi_tpu.core import fake_quant as FQ
+
+
+def test_fake_quant_asym_matches_real_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 64, 128),
+                          jnp.float32)
+    gs, bits = 32, 2
+    sim = FQ.fake_quant_grouped(x, bits, gs, axis=-1)
+    codes, scale, mn = Q.quantize_last(x, gs, bits)
+    real = Q.dequantize_last(codes, scale, mn, gs)
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(real),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fake_quant_kv_axes():
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 64, 128),
+                          jnp.float32)
+    kq, vq = FQ.fake_quant_kv(k, k, 2, 2, 32)
+    # K grouped along tokens: a per-channel constant survives exactly
+    const = jnp.ones((1, 2, 64, 128)) * jnp.arange(128)
+    kq2, _ = FQ.fake_quant_kv(const, const, 2, 2, 32)
+    np.testing.assert_allclose(np.asarray(kq2), np.asarray(const),
+                               atol=1e-5)
+
+
+def test_fake_quant_straight_through_grad():
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 32), jnp.float32)
+    g = jax.grad(lambda x: jnp.sum(FQ.fake_quant_grouped(x, 2, 32) ** 2))(x)
+    # STE: gradient == d/dx sum(q^2) with dq/dx = 1 -> 2*q
+    q = FQ.fake_quant_grouped(x, 2, 32)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(2 * q), rtol=1e-5)

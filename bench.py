@@ -42,7 +42,7 @@ CTX = 2048          # max sequence length (cache capacity)
 PROMPT = 256        # prefill length
 STEPS = 192         # decode steps to time
 HBM_BYTES = int(15.75 * 1024**3)  # v5e (XLA reports 15.75G usable)
-RESERVE = 3.2 * 1024**3    # transients (attention logits, activations)
+RESERVE = 4.0 * 1024**3    # transients (prefill quantization, activations)
 BASELINE_SPEEDUP = 2.35    # reference README.md:29 lower bound
 
 

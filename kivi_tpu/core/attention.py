@@ -57,20 +57,39 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
     W = qcfg.residual_length
     sm_scale = 1.0 / (D ** 0.5)
 
+    # The fused megakernel covers the whole computation in one pass
+    # (kernels/fused_decode.py); the split path below remains for the
+    # jnp oracle, 8-bit stores, and sliding-window models.
+    # W must be lane-aligned for the kernel's dynamic slices (Mosaic
+    # demands 128-multiples); other configs use the split path below.
+    if (impl == "pallas" and sliding_window is None
+            and W % 128 == 0
+            and qcfg.k_bits in (2, 4) and qcfg.v_bits in (2, 4)):
+        from kivi_tpu.kernels.fused_decode import fused_decode_attention
+        out = fused_decode_attention(
+            q.reshape(B, Hkv, r, D), cache.k_codes, cache.k_scale,
+            cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
+            cache.k_win, cache.v_win, cache.n_k_quant, cache.n_k_win,
+            cache.n_v_quant, group_size=qcfg.group_size,
+            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits)
+        return out.reshape(B, Hq, 1, D)
+
     qg = q.reshape(B, Hkv, r, D).astype(jnp.float32)
 
     # ---- QK^T: quantized half ------------------------------------------
+    pos_q = _lane_iota(Tmax)
     if impl == "pallas":
         from kivi_tpu.kernels import qk_dequant_matmul
+        # the kernel gates dead blocks on n_k_quant and emits -inf for
+        # positions beyond it - no outer mask needed
         att_q = qk_dequant_matmul(
             qg, cache.k_codes, cache.k_scale, cache.k_mn,
-            qcfg.group_size, qcfg.k_bits)
+            qcfg.group_size, qcfg.k_bits, n_quant=cache.n_k_quant)
     else:
         k_deq = Q.dequantize_k(cache.k_codes, cache.k_scale, cache.k_mn,
                                qcfg.group_size, qcfg.k_bits)  # (B,Hkv,D,Tmax)
         att_q = jnp.einsum("bhrd,bhdt->bhrt", qg, k_deq)
-    pos_q = _lane_iota(Tmax)
-    att_q = jnp.where(pos_q < cache.n_k_quant, att_q, NEG_INF)
+        att_q = jnp.where(pos_q < cache.n_k_quant, att_q, NEG_INF)
 
     # ---- QK^T: fp window half ------------------------------------------
     att_w = jnp.einsum("bhrd,bhwd->bhrw", qg,
@@ -98,7 +117,7 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
         from kivi_tpu.kernels import pv_dequant_matmul
         out_q = pv_dequant_matmul(
             p_vq, cache.v_codes, cache.v_scale, cache.v_mn,
-            qcfg.group_size, qcfg.v_bits)
+            qcfg.group_size, qcfg.v_bits, n_quant=cache.n_v_quant)
     else:
         v_deq = Q.dequantize_v(cache.v_codes, cache.v_scale, cache.v_mn,
                                qcfg.group_size, qcfg.v_bits)  # (B,Hkv,T,D)

@@ -124,6 +124,75 @@ def unpack_planar(words: jax.Array, bits: int, axis: int) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Crumb packing (bits 2/4): the bitcast-dequant layout.
+#
+# Designed so the TPU decode kernel can unpack with THREE integer ops per
+# u32 word-tile and one free bitcast — no int->float casts:
+#     t = ((w >> (2j)) & 0x0003_0003) | 0x3F80_3F80   (2-bit; 4-bit analog)
+#     b = bitcast(t, bf16)      # == 1 + code * 2^-7, affine in code
+# A u32->bf16 bitcast on TPU splits each 32-bit lane into (lo16, hi16)
+# on adjacent sublanes, so the layout interleaves channels accordingly:
+# with Dw = D*bits//32 words, channel d = j*(2*Dw) + 2*w + h lives in
+# word w, u16 half h, bits [16*h + bits*j, 16*h + bits*(j+1)).
+# The dequant affine is x = scale2 * b + mn2 with scale2 = scale * F,
+# mn2 = mn - scale2, F = 2^7 / (2^bits - ... exactly F = 128 for 2-bit
+# (b-1 = c/128) and F = 16 for 4-bit (code placed at mantissa bits 6:3).
+# ---------------------------------------------------------------------------
+
+def crumb_factor(bits: int) -> int:
+    """x = (F*scale) * b + (mn - F*scale) where b is the bitcast bf16."""
+    return {2: 128, 4: 16}[bits]
+
+
+def pack_crumbs(codes: jax.Array, bits: int, axis: int) -> jax.Array:
+    """Crumb-pack codes (u32, < 2**bits) along `axis` (bits 2 or 4)."""
+    assert bits in (2, 4)
+    fpi = 32 // bits          # codes per word
+    nj = 16 // bits           # crumb positions per u16 half
+    axis = axis % codes.ndim
+    D = codes.shape[axis]
+    Dw = D // fpi
+    assert D % fpi == 0
+    c = jnp.moveaxis(codes, axis, -2).astype(jnp.uint32)
+    lead = c.shape[:-2]
+    T = c.shape[-1]
+    c = c.reshape(*lead, nj, Dw, 2, T)  # d = j*(2Dw) + 2w + h
+    j = jnp.arange(nj, dtype=jnp.uint32)[:, None, None, None]
+    h = jnp.arange(2, dtype=jnp.uint32)[None, None, :, None]
+    words = jnp.sum(c << (16 * h + bits * j), axis=(-4, -2),
+                    dtype=jnp.uint32)
+    return jnp.moveaxis(words, -2, axis)
+
+
+def unpack_crumbs(words: jax.Array, bits: int, axis: int) -> jax.Array:
+    """Inverse of pack_crumbs; returns u32 codes."""
+    assert bits in (2, 4)
+    nj = 16 // bits
+    mask = jnp.uint32((1 << bits) - 1)
+    w = jnp.moveaxis(words, axis % words.ndim, -2)
+    lead, Dw, T = w.shape[:-2], w.shape[-2], w.shape[-1]
+    j = jnp.arange(nj, dtype=jnp.uint32)[:, None, None, None]
+    h = jnp.arange(2, dtype=jnp.uint32)[None, None, :, None]
+    c = (w[..., None, :, None, :] >> (16 * h + bits * j)) & mask
+    c = c.reshape(*lead, nj * Dw * 2, T)
+    return jnp.moveaxis(c, -2, axis % words.ndim)
+
+
+def pack_codes(codes: jax.Array, bits: int, axis: int) -> jax.Array:
+    """Canonical storage layout: crumb-packed for 2/4-bit (bitcast
+    dequant), plane-packed for 8-bit."""
+    if bits in (2, 4):
+        return pack_crumbs(codes, bits, axis)
+    return pack_planar(codes, bits, axis)
+
+
+def unpack_codes(words: jax.Array, bits: int, axis: int) -> jax.Array:
+    if bits in (2, 4):
+        return unpack_crumbs(words, bits, axis)
+    return unpack_planar(words, bits, axis)
+
+
+# ---------------------------------------------------------------------------
 # K / V block quantizers (the jnp reference implementations; the Pallas
 # kernels in kivi_tpu.kernels must match these bit-for-bit).
 # ---------------------------------------------------------------------------
@@ -141,14 +210,14 @@ def quantize_k_block(k_t: jax.Array, group_size: int, bits: int):
       quant or QK kernels).
     """
     codes, scale, mn = quantize_last(k_t, group_size, bits)  # scale (B,H,D,Tg)
-    words = pack_planar(codes, bits, axis=-2)
+    words = pack_codes(codes, bits, axis=-2)
     return words, scale, mn
 
 
 def dequantize_k(k_codes, k_scale, k_mn, group_size: int, bits: int):
     """(B,H,Dw,T) u32 -> (B,H,D,T) f32 keys (transposed layout).
     k_scale/k_mn: (B, H, D, T//gs)."""
-    codes = unpack_planar(k_codes, bits, axis=-2)  # (B,H,D,T)
+    codes = unpack_codes(k_codes, bits, axis=-2)  # (B,H,D,T)
     return dequantize_last(codes, k_scale.astype(jnp.float32),
                            k_mn.astype(jnp.float32), group_size)
 
@@ -164,7 +233,7 @@ def quantize_v_block(v: jax.Array, group_size: int, bits: int):
       v_mn (B, H, D//gs, T) f32.
     """
     codes, scale, mn = quantize_last(v, group_size, bits)  # scale (B,H,T,Dg)
-    words = pack_planar(codes, bits, axis=-1)  # (B,H,T,Dw)
+    words = pack_codes(codes, bits, axis=-1)  # (B,H,T,Dw)
     return (jnp.swapaxes(words, -1, -2),
             jnp.swapaxes(scale, -1, -2),
             jnp.swapaxes(mn, -1, -2))
@@ -173,7 +242,7 @@ def quantize_v_block(v: jax.Array, group_size: int, bits: int):
 def dequantize_v(v_codes, v_scale, v_mn, group_size: int, bits: int):
     """(B,H,Dw,T) u32 -> (B,H,T,D) f32 values (natural layout)."""
     words = jnp.swapaxes(v_codes, -1, -2)  # (B,H,T,Dw)
-    codes = unpack_planar(words, bits, axis=-1)  # (B,H,T,D)
+    codes = unpack_codes(words, bits, axis=-1)  # (B,H,T,D)
     scale = jnp.swapaxes(v_scale, -1, -2).astype(jnp.float32)  # (B,H,T,Dg)
     mn = jnp.swapaxes(v_mn, -1, -2).astype(jnp.float32)
     return dequantize_last(codes, scale, mn, group_size)

@@ -50,20 +50,56 @@ def _dot_kw(compute_dtype):
 
 
 def _unpack_codes(words, bits: int, compute_dtype):
-    """words (Dw, Tblk) u32 -> (D, Tblk) codes, channels in natural order.
+    """words (Dw, Tblk) u32 -> (D, Tblk) codes, channels in natural order
+    (plane layout, 8-bit only).
 
     NOTE: Mosaic has no direct u32->float cast; go through i32, concatenate
     the planes while still integer, and do ONE wide cast (codes are
     < 2**bits so the value is preserved; integers < 256 are exact in bf16).
-    Measured on v5e: the shift+mask sweep over the word tile is the VPU
-    floor of this kernel (~2 vreg-ops per output element); see
-    docs/kernels.md for the optimization ledger.
     """
     fpi = 32 // bits
     mask = jnp.uint32((1 << bits) - 1)
     planes = [((words >> jnp.uint32(j * bits)) & mask).astype(jnp.int32)
               for j in range(fpi)]
     return jnp.concatenate(planes, axis=0).astype(compute_dtype)
+
+
+def _unpack_bitcast(words, bits: int, compute_dtype):
+    """words (Dw, Tblk) u32 -> (D, Tblk) bf16 `b` values, 2/4-bit crumb
+    layout (core.quant.pack_crumbs): THREE integer vreg-ops + one free
+    bitcast per word-tile per crumb position — no int->float casts.
+    b[d, t] == 1 + code * 2^-7 (2-bit) / 1 + code * 2^-4 (4-bit), so the
+    dequant affine is x = (F*scale) * b + (mn - F*scale), F = 2^7-ish
+    (see core.quant.crumb_factor).  ~2x fewer VPU ops than the
+    shift+mask+cast plane unpack - this kernel's measured floor."""
+    nj = 16 // bits
+    mask = jnp.uint32({2: 0x0003_0003, 4: 0x000F_000F}[bits])
+    expo = jnp.uint32(0x3F80_3F80)
+    blocks = []
+    for j in range(nj):
+        t = (words >> jnp.uint32(bits * j)) & mask
+        if bits == 4:
+            t = t << jnp.uint32(3)  # mantissa bits [6:3] -> 1 + c/16
+        blocks.append(pltpu.bitcast(t | expo, jnp.bfloat16))
+    b = jnp.concatenate(blocks, axis=0)  # (D, Tblk) bf16
+    return b if compute_dtype == jnp.bfloat16 else b.astype(compute_dtype)
+
+
+def _unpack_deq(words, scale, mn, bits: int, cdt):
+    """Returns (vals (D,T), scale_eff, mn_eff) such that
+    dequant(x) == scale_eff[group] * vals + mn_eff[group].
+
+    For 2/4-bit: vals = bitcast_b - 1 = code/F EXACTLY (bf16 represents
+    c/F for c < 2^bits).  Subtracting the 1 here instead of folding it
+    into mn_eff is load-bearing: vals*scale would otherwise be computed
+    as (1+c/F)*F*scale in bf16, whose 2^-8 relative rounding is ~0.16x
+    the data range after the mn_eff cancellation — folding keeps every
+    elementwise product the same magnitude as the data."""
+    if bits == 8:
+        return _unpack_codes(words, bits, cdt), scale, mn
+    F = float({2: 128, 4: 16}[bits])  # core.quant.crumb_factor
+    vals = _unpack_bitcast(words, bits, cdt) - jnp.asarray(1.0, cdt)
+    return vals, scale * F, mn
 
 
 def _group_expand_rows(n_groups: int, n: int, dtype):
@@ -78,64 +114,90 @@ def _group_expand_rows(n_groups: int, n: int, dtype):
 # QK^T over the packed key store
 # ---------------------------------------------------------------------------
 
-def _qk_kernel(q_ref, w_ref, s_ref, m_ref, o_ref, *, bits: int, gs: int,
-               cdt):
-    # q (1, r, D) | w (1, Dw, Tblk) u32 | s,m (1, D, Tgb)
+NEG_INF = -1e30
+
+
+def _qk_kernel(nq_ref, q_ref, w_ref, s_ref, m_ref, o_ref, *, bits: int,
+               gs: int, t_block: int, cdt):
+    # q (1, r, D) | w (1, Dw, Tblk) u32 | s,m (1, D, Tg_full) unblocked
     kw = _dot_kw(cdt)
-    q = q_ref[0].astype(cdt)                        # (r, D)
-    codes = _unpack_codes(w_ref[0], bits, cdt)      # (D, Tblk)
-    scale = s_ref[0].astype(cdt)                    # (D, Tgb)
-    mn = m_ref[0].astype(cdt)
-    tgb, tblk = scale.shape[1], codes.shape[1]
-    expand = _group_expand_rows(tgb, tblk, cdt)     # (Tgb, Tblk)
-    scale_exp = jnp.dot(scale, expand, **kw).astype(cdt)  # (D, Tblk)
-    att = jnp.dot(q, codes * scale_exp, **kw)       # f32 accum
-    qmn = jnp.dot(q, mn, **kw)                      # (r, Tgb)
-    att += jnp.dot(qmn.astype(cdt), expand, **kw)
-    o_ref[0] = att
+    nq = nq_ref[0]
+    t0 = pl.program_id(1) * t_block
+
+    @pl.when(t0 >= nq)
+    def _dead():
+        o_ref[0] = jnp.full_like(o_ref[0], NEG_INF)
+
+    @pl.when(t0 < nq)
+    def _live():
+        q = q_ref[0].astype(cdt)                    # (r, D)
+        vals, scale, mn = _unpack_deq(
+            w_ref[0], s_ref[0].astype(cdt), m_ref[0].astype(cdt), bits, cdt)
+        tg_full = scale.shape[1]
+        # per-block one-hot group expansion E[g, tau] = (g == (t0+tau)//gs)
+        gid = jax.lax.broadcasted_iota(jnp.int32, (tg_full, t_block), 0)
+        tau = jax.lax.broadcasted_iota(jnp.int32, (tg_full, t_block), 1)
+        expand = (gid == (t0 + tau) // gs).astype(cdt)
+        scale_exp = jnp.dot(scale.astype(cdt), expand, **kw).astype(cdt)
+        att = jnp.dot(q, vals * scale_exp, **kw)    # f32 accum
+        qmn = jnp.dot(q, mn.astype(cdt), **kw)      # (r, Tg_full)
+        att += jnp.dot(qmn.astype(cdt), expand, **kw)
+        pos = t0 + jax.lax.broadcasted_iota(jnp.int32, att.shape, 1)
+        o_ref[0] = jnp.where(pos < nq, att, NEG_INF)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("group_size", "bits", "t_block",
                                     "compute_dtype"))
 def qk_dequant_matmul(qg, k_codes, k_scale, k_mn, group_size: int, bits: int,
-                      t_block: int = 2048, compute_dtype=jnp.bfloat16):
+                      n_quant=None, t_block: int = 512,
+                      compute_dtype=jnp.bfloat16):
     """att = qg @ dequant(K): (B,H,r,D) x (B,H,Dw,T) -> (B,H,r,T) f32.
 
     k_scale/k_mn: (B, H, D, T//gs).  Contract of the reference's
     `cuda_bmm_fA_qB_outer(group_size, fA, qB, scales, zeros, bits)`
-    (`quant/matmul.py:178`), with our transposed plane-packed layout.
+    (`quant/matmul.py:178`), with our packed layouts (core/quant.py).
+
+    n_quant (i32 scalar, default T): number of valid tokens.  Blocks past
+    it skip compute entirely (the cache is statically sized at max_seq_len
+    but typically part-full; the fp16 baseline kernel has the same
+    gating); positions >= n_quant come back as -1e30 logits.
     """
     B, H, r, D = qg.shape
     T = k_codes.shape[-1]
     gs = group_size
     t_block = min(t_block, T)
     assert T % t_block == 0 and t_block % gs == 0
-    tgb = t_block // gs
     Dw = k_codes.shape[2]
     BH = B * H
+    nq = jnp.asarray(T if n_quant is None else n_quant,
+                     jnp.int32).reshape(1)
 
-    grid = (BH, T // t_block)
     kernel = functools.partial(_qk_kernel, bits=bits, gs=gs,
-                               cdt=compute_dtype)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
+                               t_block=t_block, cdt=compute_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, T // t_block),
         in_specs=[
-            pl.BlockSpec((1, r, D), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, r, D), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dw, t_block), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, Dw, t_block), lambda b, t, *_: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, tgb), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, D, T // gs), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, tgb), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, D, T // gs), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r, t_block), lambda b, t: (b, 0, t),
+        out_specs=pl.BlockSpec((1, r, t_block), lambda b, t, *_: (b, 0, t),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, r, T), jnp.float32),
         interpret=_use_interpret(),
     )(
+        nq,
         qg.astype(compute_dtype).reshape(BH, r, D),
         k_codes.reshape(BH, Dw, T),
         k_scale.astype(compute_dtype).reshape(BH, D, T // gs),
@@ -148,43 +210,50 @@ def qk_dequant_matmul(qg, k_codes, k_scale, k_mn, group_size: int, bits: int,
 # P @ V over the packed value store
 # ---------------------------------------------------------------------------
 
-def _pv_kernel(p_ref, w_ref, s_ref, m_ref, o_ref, *, bits: int, gs: int,
-               cdt):
+def _pv_kernel(nq_ref, p_ref, w_ref, s_ref, m_ref, o_ref, *, bits: int,
+               gs: int, t_block: int, cdt):
     # p (1, r, Tblk) | w (1, Dw, Tblk) | s,m (1, Dg, Tblk) | o (1, r, D)
     kw = _dot_kw(cdt)
     t_idx = pl.program_id(1)
-    p = p_ref[0].astype(cdt)                          # (r, Tblk)
-    codes = _unpack_codes(w_ref[0], bits, cdt)        # (D, Tblk)
-    scale = s_ref[0].astype(cdt)                      # (Dg, Tblk)
-    mn = m_ref[0].astype(cdt)
-    D = codes.shape[0]
-    dg = scale.shape[0]
-    expand = _group_expand_rows(dg, D, cdt)           # (Dg, D)
-    # scale_exp (D, Tblk) = E^T @ scale (tiny matmul)
-    scale_exp = jax.lax.dot_general(
-        expand, scale, (((0,), (0,)), ((), ())), **kw).astype(cdt)
-    # out_blk (r, D) = p @ (codes * scale_exp)^T  (NT matmul, contract Tblk)
-    acc = jax.lax.dot_general(p, codes * scale_exp,
-                              (((1,), (1,)), ((), ())), **kw)
-    pmn = jax.lax.dot_general(p, mn, (((1,), (1,)), ((), ())), **kw)
-    acc += jnp.dot(pmn.astype(cdt), expand, **kw)
+    nq = nq_ref[0]
+    t0 = t_idx * t_block
 
     @pl.when(t_idx == 0)
-    def _():
+    def _init():
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
-    o_ref[0] += acc
+    @pl.when(t0 < nq)
+    def _live():
+        p = p_ref[0].astype(cdt)                      # (r, Tblk)
+        vals, scale, mn = _unpack_deq(
+            w_ref[0], s_ref[0].astype(cdt), m_ref[0].astype(cdt), bits, cdt)
+        D = vals.shape[0]
+        dg = scale.shape[0]
+        expand = _group_expand_rows(dg, D, cdt)       # (Dg, D)
+        # scale_exp (D, Tblk) = E^T @ scale (tiny matmul)
+        scale_exp = jax.lax.dot_general(
+            expand, scale.astype(cdt), (((0,), (0,)), ((), ())),
+            **kw).astype(cdt)
+        # out_blk (r, D) = p @ (vals * scale_exp)^T (NT, contract Tblk)
+        acc = jax.lax.dot_general(p, vals * scale_exp,
+                                  (((1,), (1,)), ((), ())), **kw)
+        pmn = jax.lax.dot_general(p, mn.astype(cdt),
+                                  (((1,), (1,)), ((), ())), **kw)
+        acc += jnp.dot(pmn.astype(cdt), expand, **kw)
+        o_ref[0] += acc
 
 
 @functools.partial(jax.jit,
                    static_argnames=("group_size", "bits", "t_block",
                                     "compute_dtype"))
 def pv_dequant_matmul(p, v_codes, v_scale, v_mn, group_size: int, bits: int,
-                      t_block: int = 2048, compute_dtype=jnp.bfloat16):
+                      n_quant=None, t_block: int = 512,
+                      compute_dtype=jnp.bfloat16):
     """out = p @ dequant(V): (B,H,r,T) x (B,H,Dw,T) -> (B,H,r,D) f32.
 
     v_scale/v_mn: (B, H, D//gs, T).  p must already be zero beyond the
-    valid token count (softmax of -inf-masked logits guarantees this).
+    valid token count (softmax of -inf-masked logits guarantees this);
+    n_quant additionally skips whole blocks past the valid region.
     Equivalent of the reference's value-side `cuda_bmm_fA_qB_outer` call
     (`models/llama_kivi.py:382-383`).
 
@@ -199,28 +268,34 @@ def pv_dequant_matmul(p, v_codes, v_scale, v_mn, group_size: int, bits: int,
     t_block = min(t_block, T)
     assert T % t_block == 0
     BH = B * H
+    nq = jnp.asarray(T if n_quant is None else n_quant,
+                     jnp.int32).reshape(1)
 
-    grid = (BH, T // t_block)
     kernel = functools.partial(_pv_kernel, bits=bits, gs=group_size,
-                               cdt=compute_dtype)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
+                               t_block=t_block, cdt=compute_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(BH, T // t_block),
         in_specs=[
-            pl.BlockSpec((1, r, t_block), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, r, t_block), lambda b, t, *_: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Dw, t_block), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, Dw, t_block), lambda b, t, *_: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dg, t_block), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, dg, t_block), lambda b, t, *_: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dg, t_block), lambda b, t: (b, 0, t),
+            pl.BlockSpec((1, dg, t_block), lambda b, t, *_: (b, 0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, r, D), lambda b, t: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, r, D), lambda b, t, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BH, r, D), jnp.float32),
         interpret=_use_interpret(),
     )(
+        nq,
         p.astype(compute_dtype).reshape(BH, r, T),
         v_codes.reshape(BH, Dw, T),
         v_scale.astype(compute_dtype).reshape(BH, dg, T),

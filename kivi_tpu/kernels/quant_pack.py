@@ -40,18 +40,28 @@ def _onehot(n_groups: int, n: int):
 
 
 def _pack_rows(codes_i32, bits: int):
-    """(D, T) i32 codes -> (D//fpi, T) u32 plane-packed words.
-
-    Plane j is the static sublane slice [j*Dw, (j+1)*Dw) — matches
-    core/quant.pack_planar (axis=-2)."""
+    """(D, T) i32 codes -> (D//fpi, T) u32 words in the canonical layout
+    (core.quant.pack_codes): crumb layout for 2/4-bit, planes for 8."""
     fpi = 32 // bits
     D = codes_i32.shape[0]
     Dw = D // fpi
-    c = codes_i32.astype(jnp.uint32)
-    acc = c[0:Dw, :]
-    for j in range(1, fpi):
-        acc = acc | (c[j * Dw:(j + 1) * Dw, :] << jnp.uint32(j * bits))
-    return acc
+    if bits == 8:
+        c = codes_i32.astype(jnp.uint32)
+        acc = c[0:Dw, :]
+        for j in range(1, fpi):
+            acc = acc | (c[j * Dw:(j + 1) * Dw, :] << jnp.uint32(j * bits))
+        return acc
+    # crumb layout: channel d = j*(2Dw) + 2w + h -> word w bits
+    # [16h + bits*j).  Accumulate the 16-bit halves on sign-free i32
+    # sublane pairs, then ONE u16 cast + a free 16->32 bitcast merges
+    # row pairs (2w, 2w+1) into (lo16, hi16) of word w.
+    nj = 16 // bits
+    two_dw = 2 * Dw
+    acc = codes_i32[0:two_dw, :]
+    for j in range(1, nj):
+        acc = acc | (codes_i32[j * two_dw:(j + 1) * two_dw, :]
+                     << jnp.int32(bits * j))
+    return pltpu.bitcast(acc.astype(jnp.uint16), jnp.uint32)
 
 
 def _quant_k_kernel(x_ref, s_ref, m_ref, w_ref, *, bits: int, gs: int):

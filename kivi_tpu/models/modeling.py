@@ -131,8 +131,8 @@ def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl):
 
 def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             qcfg: QuantConfig, positions: jax.Array, *, mode: str,
-            impl: str = "jnp", last_only: bool = False,
-            unroll: bool = True) -> Tuple[jax.Array, Any]:
+            impl: str = "jnp",
+            last_only: bool = False) -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 global positions.
 
     Returns (logits (B, T, vocab) f32, new caches).  With last_only,
@@ -140,42 +140,24 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
     needs the full (B, T, vocab) f32 tensor, which at bench batch sizes
     is multiple GB.
 
-    unroll=True (default) lays the layer loop out in Python with STATIC
-    per-layer indices: static leading-axis slices are views and static
-    `.at[i].set` writes alias in place.  The `lax.scan` variant
-    (unroll=False, smaller HLO / faster compiles for deep models) pays
-    a dynamic_index GATHER + dynamic_update SCATTER of each layer's
-    cache slice per step — measured ~14 GB/step of hidden copies at the
-    bench config on v5e.
+    Caches are a LIST of per-layer cache pytrees, each layer its own XLA
+    buffer, and the layer loop is laid out in Python.  This is the
+    zero-copy design: per-layer cache reads feed the Pallas kernels
+    directly and appends are in-place dynamic-update-slices on donated
+    buffers.  The alternatives both lose: scanning over one stacked
+    array pays a dynamic_index gather + dynamic_update scatter of every
+    layer's multi-GB slice per step, and even STATIC slices of a stacked
+    array are materialized as copies when they feed a Pallas custom call
+    (measured: +13 ms/step read-side, +13 ms/step write-back at the
+    bench config on v5e).
     """
     x = params["embed"][tokens]
 
-    if unroll:
-        for i in range(cfg.num_layers):
-            lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
-            lc = jax.tree_util.tree_map(lambda a: a[i], caches)
-            x, lc = _decoder_layer(x, lp, lc, cfg, qcfg, positions,
-                                   mode=mode, impl=impl)
-            caches = jax.tree_util.tree_map(
-                lambda a, u: a.at[i].set(u), caches, lc)
-    else:
-        layer_ids = jnp.arange(cfg.num_layers, dtype=jnp.int32)
-
-        def body(carry, layer):
-            h, caches = carry
-            lp, i = layer
-            lc = jax.tree_util.tree_map(
-                lambda a: jax.lax.dynamic_index_in_dim(
-                    a, i, 0, keepdims=False), caches)
-            h, lc = _decoder_layer(h, lp, lc, cfg, qcfg, positions,
-                                   mode=mode, impl=impl)
-            caches = jax.tree_util.tree_map(
-                lambda a, u: jax.lax.dynamic_update_index_in_dim(
-                    a, u, i, 0), caches, lc)
-            return (h, caches), None
-
-        (x, caches), _ = jax.lax.scan(
-            body, (x, caches), (params["layers"], layer_ids))
+    caches = list(caches)
+    for i in range(cfg.num_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+        x, caches[i] = _decoder_layer(x, lp, caches[i], cfg, qcfg,
+                                      positions, mode=mode, impl=impl)
     if last_only:
         x = x[:, -1:, :]
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
@@ -185,22 +167,18 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
 
 def init_caches(cfg: ModelConfig, qcfg: QuantConfig, batch: int,
                 max_seq_len: int, dtype=jnp.bfloat16):
-    """Stacked per-layer caches (leading axis = layers) for lax.scan.
-
-    Allocated directly at the stacked shape — stacking L per-layer
-    copies would transiently double cache HBM, which matters at the
-    multi-GB cache sizes the benchmarks run at.
-    """
+    """List of per-layer caches — each layer a separate XLA buffer (see
+    forward() docstring for why this beats one stacked array)."""
     def one():
         if qcfg.quantize_kv:
             return KC.init_layer_cache(batch, cfg.num_kv_heads, cfg.head_dim,
                                        max_seq_len, qcfg, dtype)
         return init_fp_cache(batch, cfg.num_kv_heads, cfg.head_dim,
                              max_seq_len, dtype)
-    shapes = jax.eval_shape(one)
-    L = cfg.num_layers
-    return jax.tree_util.tree_map(
-        lambda s: jnp.zeros((L, *s.shape), s.dtype), shapes)
+    # jit so every layer gets its OWN output buffer: bare jnp.zeros
+    # deduplicates identical constants across layers, and a shared buffer
+    # cannot be donated L times by the engine's jitted steps.
+    return list(jax.jit(lambda: [one() for _ in range(cfg.num_layers)])())
 
 
 # ---------------------------------------------------------------------------

@@ -89,23 +89,24 @@ def param_pspecs(cfg: ModelConfig) -> dict:
 
 
 def cache_pspecs(qcfg: QuantConfig) -> object:
-    """PartitionSpec tree for stacked layer caches (leading axis=layers).
+    """PartitionSpec tree for ONE layer's cache (caches are a list of
+    per-layer pytrees; apply per element).
 
-    Every cache array is (L, B, H, ...): batch on `data`, KV heads on
-    `model`.  Counters (L,) are replicated.
+    Every cache array is (B, H, ...): batch on `data`, KV heads on
+    `model`.  Counters are replicated.
     """
-    arr = P(None, DATA_AXIS, MODEL_AXIS)  # trailing dims unsharded
+    arr = P(DATA_AXIS, MODEL_AXIS)  # trailing dims unsharded
     if qcfg.quantize_kv:
         from kivi_tpu.cache.kivi_cache import KiviLayerCache
         return KiviLayerCache(
             k_codes=arr, k_scale=arr, k_mn=arr,
             v_codes=arr, v_scale=arr, v_mn=arr,
             k_win=arr, v_win=arr,
-            n_k_quant=P(None), n_k_win=P(None),
-            n_v_quant=P(None), n_v_win=P(None),
+            n_k_quant=P(), n_k_win=P(),
+            n_v_quant=P(), n_v_win=P(),
         )
     from kivi_tpu.cache.fp_cache import FpLayerCache
-    return FpLayerCache(k=arr, v=arr, length=P(None))
+    return FpLayerCache(k=arr, v=arr, length=P())
 
 
 def token_pspec() -> P:
@@ -123,7 +124,8 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
 
 
 def shard_caches(caches, qcfg: QuantConfig, mesh: Mesh):
-    return jax.device_put(caches, _to_shardings(mesh, cache_pspecs(qcfg)))
+    spec = _to_shardings(mesh, cache_pspecs(qcfg))
+    return [jax.device_put(c, spec) for c in caches]
 
 
 def shard_tokens(tokens: jax.Array, mesh: Mesh) -> jax.Array:

@@ -38,11 +38,17 @@ CFG = ModelConfig(
 KIVI = QuantConfig(k_bits=2, v_bits=2, group_size=32, residual_length=128)
 FP16 = QuantConfig(k_bits=16, v_bits=16, group_size=32, residual_length=128)
 
-CTX = 2048          # max sequence length (cache capacity)
-PROMPT = 256        # prefill length
-STEPS = 192         # decode steps to time
+# Long-context serving regime — the workload KIVI exists for (the
+# reference's headline models are 32K-context; its LongBench evals run
+# multi-thousand-token prompts).
+CTX = 4096          # max sequence length (cache capacity)
+PROMPT = 1024       # prefill length
+STEPS = 256         # decode steps to time
 HBM_BYTES = int(15.75 * 1024**3)  # v5e (XLA reports 15.75G usable)
-RESERVE = 4.0 * 1024**3    # transients (prefill quantization, activations)
+# prefill transients differ by format: the KIVI path additionally holds
+# quantization intermediates over the whole prompt
+RESERVE_FP = 3.0 * 1024**3
+RESERVE_KIVI = 4.0 * 1024**3
 BASELINE_SPEEDUP = 2.35    # reference README.md:29 lower bound
 
 
@@ -63,10 +69,11 @@ def cache_bytes_per_seq(cfg: ModelConfig, qcfg: QuantConfig, ctx: int) -> int:
 
 
 def max_batch(cfg, qcfg, ctx) -> int:
-    budget = HBM_BYTES - RESERVE - param_bytes(cfg)
+    reserve = RESERVE_KIVI if qcfg.quantize_kv else RESERVE_FP
+    budget = HBM_BYTES - reserve - param_bytes(cfg)
     per = cache_bytes_per_seq(cfg, qcfg, ctx)
     b = int(budget // per)
-    return max(8, (b // 8) * 8)
+    return max(4, (b // 4) * 4)
 
 
 def _sync(x) -> float:
@@ -92,13 +99,15 @@ def run_one(qcfg: QuantConfig, batch: int, impl: str) -> float:
     rng = jax.random.PRNGKey(0)
     # warmup / compile the scan
     out, caches = eng._decode_scan(_PARAMS, first, pos, caches, rng,
-                                   steps=STEPS, temperature=0.0)
+                                   steps=STEPS, temperature=0.0,
+                                   prompt_len=PROMPT)
     _sync(out)
     # timed run (cache state continues past the warmup region)
     pos2 = jnp.full((batch, 1), PROMPT + STEPS, jnp.int32)
     t0 = time.perf_counter()
     out, caches = eng._decode_scan(_PARAMS, out[:, -1:], pos2, caches, rng,
-                                   steps=STEPS, temperature=0.0)
+                                   steps=STEPS, temperature=0.0,
+                                   prompt_len=PROMPT + STEPS)
     _sync(out)
     dt = time.perf_counter() - t0
     del caches

@@ -116,7 +116,7 @@ def _append_k_quant(cache: KiviLayerCache, k_block, qcfg: QuantConfig,
                     n_tokens: int, impl: str = "jnp") -> KiviLayerCache:
     """Quantize k_block (B,H,n_tokens,D) and append at n_k_quant."""
     gs = qcfg.group_size
-    k_t = jnp.swapaxes(k_block, -1, -2)
+    k_t = jnp.swapaxes(k_block, -1, -2)  # kernels cast per tile
     if impl == "pallas":
         from kivi_tpu.kernels.quant_pack import quantize_pack_k
         codes, scale, mn = quantize_pack_k(k_t, gs, qcfg.k_bits)
@@ -211,29 +211,51 @@ def prefill_ingest(cache: KiviLayerCache, k, v,
 # decode append (reference `models/llama_kivi.py:333-399` state machine)
 # ---------------------------------------------------------------------------
 
+def flush_k_now(cache: KiviLayerCache, qcfg: QuantConfig,
+                impl: str = "jnp") -> KiviLayerCache:
+    """Unconditionally quantize the (full) key window into the store.
+    Caller must know n_k_win == residual_length (the flush schedule is
+    compile-time deterministic for a known prompt length; see
+    serving/engine.py)."""
+    c = _append_k_quant(cache, cache.k_win, qcfg,
+                        qcfg.residual_length, impl)
+    return dataclasses.replace(c, n_k_win=jnp.int32(0))
+
+
+def flush_v_now(cache: KiviLayerCache, qcfg: QuantConfig,
+                impl: str = "jnp") -> KiviLayerCache:
+    """Unconditionally quantize the oldest v_flush value-window tokens and
+    slide the window.  Caller must know n_v_win == residual_length."""
+    vf = qcfg.value_flush
+    oldest = cache.v_win[:, :, :vf, :]
+    c = _append_v_quant(cache, oldest, qcfg, vf, impl)
+    shifted = jnp.concatenate(
+        [c.v_win[:, :, vf:, :], jnp.zeros_like(c.v_win[:, :, :vf, :])],
+        axis=-2)
+    return dataclasses.replace(c, v_win=shifted, n_v_win=c.n_v_win - vf)
+
+
 def decode_append(cache: KiviLayerCache, k_new, v_new,
-                  qcfg: QuantConfig, impl: str = "jnp") -> KiviLayerCache:
+                  qcfg: QuantConfig, impl: str = "jnp",
+                  do_flush: bool = True) -> KiviLayerCache:
     """Append one token's post-RoPE K/V (B, H, 1, D), flushing full windows
-    first.  jit-safe: all branches via lax.cond, all shapes static."""
+    first.  jit-safe: all branches via lax.cond, all shapes static.
+
+    do_flush=False skips the flush conds entirely — for callers that
+    schedule flushes statically (the engine's segmented decode scan; the
+    lax.cond machinery costs ~19 ms/step at bench scale even on
+    non-flushing steps because the branches return the full cache)."""
     W = qcfg.residual_length
     vf = qcfg.value_flush
     dtype = cache.k_win.dtype
 
-    def flush_k(c: KiviLayerCache) -> KiviLayerCache:
-        c = _append_k_quant(c, c.k_win.astype(jnp.float32), qcfg, W, impl)
-        return dataclasses.replace(c, n_k_win=jnp.int32(0))
-
-    cache = jax.lax.cond(cache.n_k_win == W, flush_k, lambda c: c, cache)
-
-    def flush_v(c: KiviLayerCache) -> KiviLayerCache:
-        oldest = c.v_win[:, :, :vf, :].astype(jnp.float32)
-        c = _append_v_quant(c, oldest, qcfg, vf, impl)
-        shifted = jnp.concatenate(
-            [c.v_win[:, :, vf:, :], jnp.zeros_like(c.v_win[:, :, :vf, :])],
-            axis=-2)
-        return dataclasses.replace(c, v_win=shifted, n_v_win=c.n_v_win - vf)
-
-    cache = jax.lax.cond(cache.n_v_win == W, flush_v, lambda c: c, cache)
+    if do_flush:
+        cache = jax.lax.cond(cache.n_k_win == W,
+                             lambda c: flush_k_now(c, qcfg, impl),
+                             lambda c: c, cache)
+        cache = jax.lax.cond(cache.n_v_win == W,
+                             lambda c: flush_v_now(c, qcfg, impl),
+                             lambda c: c, cache)
 
     return dataclasses.replace(
         cache,

@@ -8,9 +8,16 @@ the full test suite works on CPU.
 
 from kivi_tpu.kernels.qk_pv import qk_dequant_matmul, pv_dequant_matmul
 from kivi_tpu.kernels.flash import flash_attention
+from kivi_tpu.kernels.fp_decode import fp_decode_attention_kernel
+from kivi_tpu.kernels.fused_decode import fused_decode_attention
+from kivi_tpu.kernels.quant_pack import quantize_pack_k, quantize_pack_v
 
 __all__ = [
     "qk_dequant_matmul",
     "pv_dequant_matmul",
     "flash_attention",
+    "fp_decode_attention_kernel",
+    "fused_decode_attention",
+    "quantize_pack_k",
+    "quantize_pack_v",
 ]

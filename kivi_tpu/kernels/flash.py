@@ -140,7 +140,9 @@ def flash_attention(q, k, v, *, causal: bool = True, sliding_window=None,
         ],
         out_specs=pl.BlockSpec((1, blk_q, D), lambda bh, iq, ik: (bh, iq, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * Hq, Tp, D), jnp.float32),
+        # bf16 out: accumulation is f32 in scratch; the (B,Hq,T,D) output
+        # at prefill scale is GBs, halving it matters for peak HBM
+        out_shape=jax.ShapeDtypeStruct((B * Hq, Tp, D), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((blk_q, 128), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),

@@ -125,9 +125,13 @@ def quantize_pack_k(k_t, group_size: int, bits: int, t_block: int = 2048):
     assert T % t_block == 0 and t_block % gs == 0
     G = T // gs
 
-    xg = k_t.astype(jnp.float32).reshape(BH, D, G, gs)
-    mn = jnp.min(xg, axis=-1)
-    scale = (jnp.max(xg, axis=-1) - mn) / ((1 << bits) - 1)
+    # stats reduce in the INPUT dtype (min/max are exact in bf16), stats
+    # themselves in f32 - never materialize a whole-array f32 copy (at
+    # prefill scale that transient is GBs)
+    xg = k_t.reshape(BH, D, G, gs)
+    mn = jnp.min(xg, axis=-1).astype(jnp.float32)
+    mx = jnp.max(xg, axis=-1).astype(jnp.float32)
+    scale = (mx - mn) / ((1 << bits) - 1)
 
     tgb = t_block // gs
     sspec = pl.BlockSpec((1, D, tgb), lambda b, t: (b, 0, t),

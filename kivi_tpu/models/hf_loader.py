@@ -119,3 +119,29 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16):
 
     sd = _Lazy(shards)
     return cfg, params_from_state_dict(sd, cfg, dtype)
+
+
+def load_hf_checkpoint_native(path: str, dtype=jnp.bfloat16):
+    """Like load_hf_checkpoint but through the C++ mmap reader
+    (native/safetensors_reader.cpp + models/native_io.py): the IO layer
+    hands back zero-copy views into the mapped shards, so host memory
+    stays at ~one mapped page set rather than materialized copies."""
+    from kivi_tpu.models import native_io
+
+    if not native_io.available():
+        return load_hf_checkpoint(path, dtype)
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = config_from_hf(json.load(f))
+    shards = sorted(os.path.join(path, f) for f in os.listdir(path)
+                    if f.endswith(".safetensors"))
+    where = native_io.open_shards(shards)
+
+    class _NativeSD(dict):
+        def __getitem__(self, k):
+            return where[k].get(k)
+
+        def __contains__(self, k):
+            return k in where
+
+    return cfg, params_from_state_dict(_NativeSD(), cfg, dtype)

@@ -47,8 +47,8 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
                  linear_scale: Optional[float] = None):
-    """positions (...,) i32 -> cos/sin (..., head_dim) f32 (HF half-split
-    convention: angles duplicated over the two halves)."""
+    """positions (...,) i32 -> cos/sin (..., head_dim//2) f32 (HF
+    half-split convention: the two halves share the same angles)."""
     half = head_dim // 2
     # inv_freq[i] = theta**(-2i/D), i in [0, D/2) — HF llama convention
     inv_freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
@@ -56,14 +56,25 @@ def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
     if linear_scale is not None:
         pos = pos / linear_scale
     ang = pos[..., None] * inv_freq  # (..., half)
-    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)
-    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
-    return cos, sin
+    return jnp.cos(ang), jnp.sin(ang)
 
 
 def rotate_half(x: jax.Array) -> jax.Array:
     half = x.shape[-1] // 2
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """HF rotate-half rope on halves, without materializing any
+    full-width f32 temporaries (x1*cos - x2*sin ‖ x2*cos + x1*sin) —
+    the rotate_half formulation held several (B,H,T,D) f32 buffers live
+    at prefill scale."""
+    half = x.shape[-1] // 2
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    o1 = (x1 * cos - x2 * sin).astype(x.dtype)
+    o2 = (x2 * cos + x1 * sin).astype(x.dtype)
+    return jnp.concatenate([o1, o2], axis=-1)
 
 
 def swiglu_mlp(x: jax.Array, wg, wu, wd) -> jax.Array:
@@ -76,7 +87,8 @@ def swiglu_mlp(x: jax.Array, wg, wu, wd) -> jax.Array:
 
 def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                      qcfg: QuantConfig, positions, *, mode: str,
-                     impl: str) -> Tuple[jax.Array, LayerCache]:
+                     impl: str, flush: bool = True
+                     ) -> Tuple[jax.Array, LayerCache]:
     """mode: 'prefill' (T tokens, cache must be empty) or 'decode' (T==1)."""
     B, T, _ = x.shape
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -85,13 +97,11 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
     k = (x @ lp["wk"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
     v = (x @ lp["wv"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
 
-    # positions (B, T) -> cos/sin (B, 1, T, D), broadcast over heads
+    # positions (B, T) -> cos/sin (B, 1, T, D/2), broadcast over heads
     cos, sin = rope_cos_sin(positions, D, cfg.rope_theta, cfg.rope_scaling)
     cos, sin = cos[:, None, :, :], sin[:, None, :, :]
-    q = (q.astype(jnp.float32) * cos
-         + rotate_half(q.astype(jnp.float32)) * sin).astype(q.dtype)
-    k = (k.astype(jnp.float32) * cos
-         + rotate_half(k.astype(jnp.float32)) * sin).astype(k.dtype)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
 
     if mode == "prefill":
         out = prefill_attention(q, k, v, sliding_window=cfg.sliding_window,
@@ -107,7 +117,8 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                                       sliding_window=cfg.sliding_window,
                                       impl=impl)
         else:
-            cache = KC.decode_append(cache, k, v, qcfg, impl)
+            cache = KC.decode_append(cache, k, v, qcfg, impl,
+                                     do_flush=flush)
             out = decode_attention(q, cache, qcfg, impl=impl,
                                    sliding_window=cfg.sliding_window)
 
@@ -115,10 +126,11 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
     return out @ lp["wo"], cache
 
 
-def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl):
+def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl,
+                   flush=True):
     h, cache = _attention_block(
         rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps), lp, cache, cfg, qcfg,
-        positions, mode=mode, impl=impl)
+        positions, mode=mode, impl=impl, flush=flush)
     x = x + h
     x = x + swiglu_mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps),
                        lp["wg"], lp["wu"], lp["wd"])
@@ -132,7 +144,8 @@ def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl):
 def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             qcfg: QuantConfig, positions: jax.Array, *, mode: str,
             impl: str = "jnp",
-            last_only: bool = False) -> Tuple[jax.Array, Any]:
+            last_only: bool = False,
+            flush: bool = True) -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 global positions.
 
     Returns (logits (B, T, vocab) f32, new caches).  With last_only,
@@ -157,7 +170,8 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
     for i in range(cfg.num_layers):
         lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
         x, caches[i] = _decoder_layer(x, lp, caches[i], cfg, qcfg,
-                                      positions, mode=mode, impl=impl)
+                                      positions, mode=mode, impl=impl,
+                                      flush=flush)
     if last_only:
         x = x[:, -1:, :]
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
@@ -211,3 +225,17 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.bfloat16) -> dict:
         "ln_f": jnp.ones((Hd,), dtype),
         "lm_head": nrm(ks[8], (Hd, V), s),
     }
+
+
+def flush_caches(caches, qcfg: QuantConfig, impl: str = "jnp",
+                 k: bool = False, v: bool = False):
+    """Unconditional window flushes across all layers (the engine's
+    statically-scheduled decode path; see KC.flush_k_now/flush_v_now)."""
+    out = []
+    for c in caches:
+        if k:
+            c = KC.flush_k_now(c, qcfg, impl)
+        if v:
+            c = KC.flush_v_now(c, qcfg, impl)
+        out.append(c)
+    return out

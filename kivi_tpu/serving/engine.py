@@ -49,7 +49,7 @@ class Engine:
         self._decode_scan = jax.jit(
             functools.partial(self._decode_scan_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
-            static_argnames=("steps", "temperature"),
+            static_argnames=("steps", "temperature", "prompt_len"),
             donate_argnums=(3,))
 
     # -- jitted bodies ----------------------------------------------------
@@ -71,18 +71,44 @@ class Engine:
         return logits[:, -1, :], caches
 
     @staticmethod
+    def _flush_schedule(qcfg, prompt_len: int, steps: int):
+        """Compile-time flush schedule: for a known prompt length, the
+        exact decode steps at which the K / V windows fill are
+        deterministic (mirrors prefill_ingest's split arithmetic).
+        Returns {step_index: (flush_k, flush_v)}."""
+        W, vf = qcfg.residual_length, qcfg.value_flush
+        T = prompt_len
+        nkq0 = (T // W) * W
+        nvq0 = 0 if T <= W else ((T - W + vf - 1) // vf) * vf
+        i_k0 = W - (T - nkq0)
+        i_v0 = W - (T - nvq0)
+        events = {}
+        for i in range(steps):
+            fk = i >= i_k0 and (i - i_k0) % W == 0
+            fv = i >= i_v0 and (i - i_v0) % vf == 0
+            if fk or fv:
+                events[i] = (fk, fv)
+        return events
+
+    @staticmethod
     def _decode_scan_fn(params, first_token, first_pos, caches, rng, *,
-                        cfg, qcfg, impl, steps: int, temperature: float = 0.0):
+                        cfg, qcfg, impl, steps: int,
+                        temperature: float = 0.0, prompt_len: int = 0):
         """Generate `steps` tokens fully on-device.
 
-        Returns (tokens (B, steps) i32, caches).
+        With a known prompt_len and a KIVI cache, window flushes run
+        UNCONDITIONALLY at their statically-known steps and the scanned
+        step body carries no flush conds at all (the per-step lax.cond
+        machinery on full-cache operands cost ~19 ms/step at bench
+        scale).  Returns (tokens (B, steps) i32, caches).
         """
+        static_flush = prompt_len > 0 and qcfg.quantize_kv
 
         def body(carry, _):
             token, pos, caches, rng = carry
             logits, caches = modeling.forward(
                 params, token, caches, cfg, qcfg, pos,
-                mode="decode", impl=impl)
+                mode="decode", impl=impl, flush=not static_flush)
             logits = logits[:, -1, :]
             if temperature > 0:
                 rng, sub = jax.random.split(rng)
@@ -92,9 +118,28 @@ class Engine:
             nxt = nxt.astype(jnp.int32)[:, None]
             return (nxt, pos + 1, caches, rng), nxt[:, 0]
 
-        (_, _, caches, _), toks = jax.lax.scan(
-            body, (first_token, first_pos, caches, rng), None, length=steps)
-        return jnp.swapaxes(toks, 0, 1), caches
+        carry = (first_token, first_pos, caches, rng)
+        if not static_flush:
+            carry, toks = jax.lax.scan(body, carry, None, length=steps)
+            return jnp.swapaxes(toks, 0, 1), carry[2]
+
+        events = Engine._flush_schedule(qcfg, prompt_len, steps)
+        tok_segs = []
+        done = 0
+        boundaries = sorted(events) + [steps]
+        for b in boundaries:
+            seg = b - done
+            if seg > 0:
+                carry, toks = jax.lax.scan(body, carry, None, length=seg)
+                tok_segs.append(jnp.swapaxes(toks, 0, 1))
+                done = b
+            if b in events:
+                fk, fv = events[b]
+                token, pos, caches, rng = carry
+                caches = modeling.flush_caches(caches, qcfg, impl,
+                                               k=fk, v=fv)
+                carry = (token, pos, caches, rng)
+        return jnp.concatenate(tok_segs, axis=1), carry[2]
 
     # -- public API --------------------------------------------------------
 
@@ -132,7 +177,8 @@ class Engine:
         pos = jnp.full((B, 1), T, jnp.int32)
         rest, caches = self._decode_scan(
             self.params, first, pos, caches, rng,
-            steps=max_new_tokens - 1, temperature=temperature)
+            steps=max_new_tokens - 1, temperature=temperature,
+            prompt_len=T)
         out = jnp.concatenate([first, rest], axis=1)
         if eos_token_id is not None:
             seen = jnp.cumsum((out == eos_token_id).astype(jnp.int32), axis=1)

@@ -171,3 +171,102 @@ def test_engine_eos_padding():
     hits = np.where(out[0] == 7)[0]
     if len(hits):
         assert (out[0][hits[0]:] == 7).all()
+
+
+# ---------------------------------------------------------------------------
+# native (C++ mmap) checkpoint loader vs the python safetensors loader
+# ---------------------------------------------------------------------------
+
+def test_native_loader_matches_python(tmp_path):
+    import json
+    import numpy as np
+    from safetensors.numpy import save_file
+    from kivi_tpu.config import tiny_config
+    from kivi_tpu.models import native_io
+    from kivi_tpu.models.hf_loader import (load_hf_checkpoint,
+                                           load_hf_checkpoint_native)
+
+    if not native_io.available():
+        import pytest
+        pytest.skip("native reader not built")
+
+    cfg = tiny_config()
+    rng = np.random.RandomState(0)
+    sd = {}
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        sd[p + "input_layernorm.weight"] = rng.randn(cfg.hidden_size).astype(np.float32)
+        sd[p + "post_attention_layernorm.weight"] = rng.randn(cfg.hidden_size).astype(np.float32)
+        sd[p + "self_attn.q_proj.weight"] = rng.randn(cfg.num_heads * cfg.head_dim, cfg.hidden_size).astype(np.float32)
+        sd[p + "self_attn.k_proj.weight"] = rng.randn(cfg.num_kv_heads * cfg.head_dim, cfg.hidden_size).astype(np.float32)
+        sd[p + "self_attn.v_proj.weight"] = rng.randn(cfg.num_kv_heads * cfg.head_dim, cfg.hidden_size).astype(np.float32)
+        sd[p + "self_attn.o_proj.weight"] = rng.randn(cfg.hidden_size, cfg.num_heads * cfg.head_dim).astype(np.float32)
+        sd[p + "mlp.gate_proj.weight"] = rng.randn(cfg.intermediate_size, cfg.hidden_size).astype(np.float32)
+        sd[p + "mlp.up_proj.weight"] = rng.randn(cfg.intermediate_size, cfg.hidden_size).astype(np.float32)
+        sd[p + "mlp.down_proj.weight"] = rng.randn(cfg.hidden_size, cfg.intermediate_size).astype(np.float32)
+    sd["model.embed_tokens.weight"] = rng.randn(cfg.vocab_size, cfg.hidden_size).astype(np.float32)
+    sd["model.norm.weight"] = rng.randn(cfg.hidden_size).astype(np.float32)
+    sd["lm_head.weight"] = rng.randn(cfg.vocab_size, cfg.hidden_size).astype(np.float32)
+
+    d = str(tmp_path)
+    save_file(sd, f"{d}/model.safetensors", metadata={"format": "pt"})
+    with open(f"{d}/config.json", "w") as f:
+        json.dump({
+            "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_heads,
+            "num_key_value_heads": cfg.num_kv_heads,
+            "head_dim": cfg.head_dim,
+            "max_position_embeddings": cfg.max_position_embeddings,
+        }, f)
+
+    cfg_p, params_p = load_hf_checkpoint(d)
+    cfg_n, params_n = load_hf_checkpoint_native(d)
+    assert cfg_p == cfg_n
+    for (kp, vp), (kn, vn) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(params_p),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(params_n),
+                   key=lambda kv: str(kv[0]))):
+        assert str(kp) == str(kn)
+        np.testing.assert_array_equal(np.asarray(vp), np.asarray(vn))
+
+
+def test_static_flush_schedule_matches_stepwise():
+    """The engine's statically-scheduled decode (no per-step flush conds)
+    must produce exactly the same tokens and cache state as step-by-step
+    decoding with runtime flush conds."""
+    import jax.numpy as jnp
+    from kivi_tpu.config import QuantConfig, tiny_config
+    from kivi_tpu.models import modeling
+    from kivi_tpu.serving.engine import Engine
+
+    cfg = tiny_config()
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=32)
+    params = modeling.init_params(cfg, jax.random.PRNGKey(0))
+    # prompt lengths probing different window phases
+    for T in (20, 32, 45, 70):
+        B, steps = 2, 40
+        tokens = jax.random.randint(jax.random.PRNGKey(T), (B, T), 0,
+                                    cfg.vocab_size, jnp.int32)
+        eng = Engine(cfg=cfg, qcfg=qcfg, params=params, max_seq_len=256,
+                     batch_size=B)
+        first, caches = eng.prefill(tokens)
+        # oracle: stepwise decode with runtime conds
+        tok = first
+        toks_ref = [first]
+        import copy
+        caches_ref = caches
+        for i in range(steps):
+            pos = jnp.full((B, 1), T + i, jnp.int32)
+            tok, caches_ref = eng.decode_step(tok, pos, caches_ref)
+            toks_ref.append(tok)
+        ref = jnp.concatenate(toks_ref[:-1], axis=1)
+
+        first2, caches2 = eng.prefill(tokens)
+        out = eng.generate(tokens, steps + 1)
+        assert jnp.array_equal(out[:, :steps + 1],
+                               jnp.concatenate([first, ref[:, 1:],
+                                                toks_ref[-1]], axis=1)), T

@@ -57,11 +57,30 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
     W = qcfg.residual_length
     sm_scale = 1.0 / (D ** 0.5)
 
-    # The fused megakernel covers the whole computation in one pass
-    # (kernels/fused_decode.py); the split path below remains for the
-    # jnp oracle, 8-bit stores, and sliding-window models.
-    # W must be lane-aligned for the kernel's dynamic slices (Mosaic
-    # demands 128-multiples); other configs use the split path below.
+    # Kernel dispatch, fastest first.  The head-folded megakernel
+    # (kernels/fused_decode_wide.py) wins for GQA (r > 1: it lifts the
+    # per-head kernel's r-row MXU tiles to Hkv*r rows; measured 1.07x
+    # at B=1 to 1.42x at B=8, Llama-3 geometry, T=4096).  It needs
+    # 128-aligned windows AND 128-aligned value flushes, and loads the
+    # K scale/zp planes full-width — gate on their VMEM footprint.  For
+    # MHA (r == 1) it is slower than the per-head kernel (the head-fold
+    # bookkeeping outweighs the row win) and OOMs at Hkv = 32.  The
+    # split path serves everything else (jnp oracle, 8-bit, sliding
+    # window).
+    wide_scale_bytes = 2 * 2 * Hkv * D * (Tmax // qcfg.group_size)
+    if (impl == "pallas" and sliding_window is None and r > 1
+            and wide_scale_bytes <= 2 * 1024 * 1024
+            and W % 128 == 0 and qcfg.value_flush % 128 == 0
+            and qcfg.k_bits in (2, 4) and qcfg.v_bits in (2, 4)):
+        from kivi_tpu.kernels.fused_decode_wide import (
+            fused_decode_attention_wide)
+        out = fused_decode_attention_wide(
+            q.reshape(B, Hkv, r, D), cache.k_codes, cache.k_scale,
+            cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
+            cache.k_win, cache.v_win, cache.n_k_quant, cache.n_k_win,
+            cache.n_v_quant, group_size=qcfg.group_size,
+            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits)
+        return out.reshape(B, Hq, 1, D)
     if (impl == "pallas" and sliding_window is None
             and W % 128 == 0
             and qcfg.k_bits in (2, 4) and qcfg.v_bits in (2, 4)):

@@ -82,9 +82,15 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
 
     def vstrip(start, n):
         """(n, D) rows of v_win for positions [start, start+n)."""
-        # every term is a multiple of 8 (nvq is v_flush-aligned, v_flush a
-        # multiple of group_size >= 8) but Mosaic cannot prove it
-        off = pl.multiple_of(start - nvq + C, 8)
+        # Chunks entirely before the window produce raw offsets far
+        # outside the pad buffer (down to C - nvq < 0); their reads are
+        # zero-weighted, so clamping into bounds is free — and required:
+        # OOB VMEM slices fault on TPU and read garbage in interpret.
+        # Both clip bounds and the raw offset are multiples of 8 (nvq is
+        # v_flush-aligned; C, W multiples of 8), but Mosaic can't prove
+        # it, hence the multiple_of.
+        off = jnp.clip(start - nvq + C, 0, vpad_scr.shape[0] - n)
+        off = pl.multiple_of(off, 8)
         return vpad_scr[pl.ds(off, n), :]
 
     def online(s, v_quant_cols, pos0, n):
@@ -154,7 +160,9 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     # quantized V for window positions that still live in the V store
     # (pos in [nkq, nvq), possible when the V store is ahead of K's):
     # aligned dynamic lane slice at nkq (nkq % W == 0 by construction).
-    nkq_a = pl.multiple_of(nkq, W)  # K flushes in W-blocks
+    # K flushes in W-blocks so nkq is W-aligned; clamp for the full-cache
+    # edge (nkq == T would slice past the store end)
+    nkq_a = pl.multiple_of(jnp.minimum(nkq, T - W), W)
     vvals, vscale, vmn = _unpack_deq(
         vw_ref[0, :, pl.ds(nkq_a, W)],
         vs_ref[0, :, pl.ds(nkq_a, W)].astype(cdt),

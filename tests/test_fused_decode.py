@@ -65,3 +65,69 @@ def test_fused_mha_r1():
     got = decode_attention(q, cache, qcfg, impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# head-folded wide kernel (v_flush == residual_length -> 128-aligned nvq)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bits", [(2, 2), (4, 4), (2, 4)])
+@pytest.mark.parametrize("tprompt,steps,r", [
+    (40, 0, 4),      # all-window
+    (128, 0, 4),     # K just flushed
+    (200, 60, 4),    # mid-stream
+    (128, 130, 1),   # MHA, flush boundaries crossed in decode
+    (300, 140, 2),   # several flushes
+])
+def test_wide_matches_split(bits, tprompt, steps, r):
+    # call the wide kernel directly: the dispatcher only routes GQA
+    # (r > 1) to it, but the kernel itself supports r == 1 too
+    from kivi_tpu.kernels.fused_decode_wide import (
+        fused_decode_attention_wide)
+    kb, vb = bits
+    qcfg = QuantConfig(k_bits=kb, v_bits=vb, group_size=32,
+                       residual_length=128, v_flush=128)
+    B, H, D = 2, 4, 128
+    cache = _mk_cache(tprompt, steps, qcfg, B=B, H=H, D=D)
+    q = jax.random.normal(jax.random.PRNGKey(9), (B, H * r, 1, D),
+                          jnp.float32)
+    ref = decode_attention(q, cache, qcfg, impl="jnp")
+    got = fused_decode_attention_wide(
+        q.reshape(B, H, r, D), cache.k_codes, cache.k_scale, cache.k_mn,
+        cache.v_codes, cache.v_scale, cache.v_mn, cache.k_win,
+        cache.v_win, cache.n_k_quant, cache.n_k_win, cache.n_v_quant,
+        group_size=32, k_bits=kb, v_bits=vb).reshape(B, H * r, 1, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# multi-chunk caches: chunks fully before the V window used to feed the
+# strip gather an out-of-bounds offset (NaN in interpret, VMEM fault on
+# TPU at T=4096) — regression for the vstrip clamp in fused_decode.py
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("impl_cfg", [
+    # (tprompt, steps, Tmax, v_flush) — v_flush=None exercises the
+    # per-head kernel's sliding V flush; 128 exercises the wide kernel
+    (1280, 0, 2048, None),    # nkw == 0, 2 dead-chunk tails
+    (1200, 60, 2048, None),   # deep store, window mid-fill
+    (700, 0, 2048, None),     # chunk 1 partial, chunks 2-3 dead
+    (1280, 0, 2048, 128),
+    (1200, 64, 2048, 128),
+])
+def test_deep_cache_multi_chunk(impl_cfg):
+    tprompt, steps, Tmax, v_flush = impl_cfg
+    kw = dict(k_bits=2, v_bits=2, group_size=32, residual_length=128)
+    if v_flush is not None:
+        kw["v_flush"] = v_flush
+    qcfg = QuantConfig(**kw)
+    B, H, r, D = 1, 2, 2, 128
+    cache = _mk_cache(tprompt, steps, qcfg, B=B, H=H, D=D, Tmax=Tmax)
+    q = jax.random.normal(jax.random.PRNGKey(5), (B, H * r, 1, D),
+                          jnp.float32)
+    ref = decode_attention(q, cache, qcfg, impl="jnp")
+    got = decode_attention(q, cache, qcfg, impl="pallas")
+    assert not np.any(np.isnan(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)

@@ -35,7 +35,12 @@ CFG = ModelConfig(
     num_layers=8, num_heads=32, num_kv_heads=32, head_dim=128,
     rope_theta=10000.0, max_position_embeddings=4096,
 )
-KIVI = QuantConfig(k_bits=2, v_bits=2, group_size=32, residual_length=128)
+# v_flush=128: V-window flushes in 128-token blocks, which (a) admits the
+# head-folded wide decode kernel (needs 128-aligned n_v_quant) and (b)
+# keeps values in fp LONGER than the reference's 1-token slide — accuracy
+# is unaffected or slightly better.
+KIVI = QuantConfig(k_bits=2, v_bits=2, group_size=32, residual_length=128,
+                   v_flush=128)
 FP16 = QuantConfig(k_bits=16, v_bits=16, group_size=32, residual_length=128)
 
 # Long-context serving regime — the workload KIVI exists for (the

@@ -58,18 +58,19 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
     sm_scale = 1.0 / (D ** 0.5)
 
     # Kernel dispatch, fastest first.  The head-folded megakernel
-    # (kernels/fused_decode_wide.py) wins for GQA (r > 1: it lifts the
-    # per-head kernel's r-row MXU tiles to Hkv*r rows; measured 1.07x
-    # at B=1 to 1.42x at B=8, Llama-3 geometry, T=4096).  It needs
-    # 128-aligned windows AND 128-aligned value flushes, and loads the
-    # K scale/zp planes full-width — gate on their VMEM footprint.  For
-    # MHA (r == 1) it is slower than the per-head kernel (the head-fold
-    # bookkeeping outweighs the row win) and OOMs at Hkv = 32.  The
-    # split path serves everything else (jnp oracle, 8-bit, sliding
-    # window).
-    wide_scale_bytes = 2 * 2 * Hkv * D * (Tmax // qcfg.group_size)
-    if (impl == "pallas" and sliding_window is None and r > 1
-            and wide_scale_bytes <= 2 * 1024 * 1024
+    # (kernels/fused_decode_wide.py) lifts the per-head kernel's r-row
+    # MXU tiles to head_fold*r rows (measured on v5e at T=4096:
+    # 1.8x for Llama-2 MHA geometry with a 16-head fold, 1.3-1.8x for
+    # Llama-3 GQA with the full 8-head fold).  Its VMEM governor
+    # (default_head_fold) may shrink the fold at long context (the K
+    # scale/zp planes load full-width); below an 8-row fold the
+    # per-head kernel wins again.  It needs 128-aligned windows AND
+    # 128-aligned value flushes; the per-head kernel needs only the
+    # former; the split path serves everything else (jnp oracle, 8-bit,
+    # sliding window).
+    from kivi_tpu.kernels.fused_decode_wide import default_head_fold
+    hg = default_head_fold(Hkv, r, D, Tmax // qcfg.group_size)
+    if (impl == "pallas" and sliding_window is None and hg * r >= 8
             and W % 128 == 0 and qcfg.value_flush % 128 == 0
             and qcfg.k_bits in (2, 4) and qcfg.v_bits in (2, 4)):
         from kivi_tpu.kernels.fused_decode_wide import (

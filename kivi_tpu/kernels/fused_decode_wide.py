@@ -2,23 +2,29 @@
 
 The per-(batch, kv-head) megakernel (fused_decode.py) runs one MXU row
 per query head — for MHA models that is r=1 row per program: tiny MXU /
-VPU utilization across B*H programs.  This kernel folds ALL KV heads of
-a batch element into one program:
+VPU utilization across B*H programs.  This kernel folds a GROUP of
+head_fold KV heads into one program:
 
-  * rows = HR = Hkv * r query heads (32 for Llama-2 MHA and for
-    Llama-3/Mistral GQA alike) — full sublane utilization;
-  * QK runs as ONE (HR, Hkv*D) x (Hkv*D, C) matmul with a
-    BLOCK-DIAGONAL q (lane-tiled + head-masked) — off-head products are
-    computed and discarded (the MXU was idle anyway; every vector op is
-    32x wider);
-  * the packed stores unpack for all heads at once: the bitcast crumb
-    unpack of a (Hkv*Dw, C) word tile yields rows in the order
-    rho(j, h, w, half) = j*(2*Hkv*Dw) + h*(2*Dw) + 2w + half; scale
-    application uses per-j-block static slices of the NATURAL scale
-    layout (each j-block is a contiguous reshape) and the output folds
-    back to channel order through a constant one-hot P matmul — nothing
-    is ever physically permuted;
-  * cross-head softmax leakage is impossible: off-head logits are -inf.
+  * rows = HR = head_fold * r query heads (16 for Llama-2 MHA with the
+    default fold, 32 for Llama-3/Mistral GQA) — real sublane
+    utilization;
+  * QK runs as ONE (HR, Hg*D) x (Hg*D, C) matmul with a BLOCK-DIAGONAL
+    q (lane-tiled + head-masked) — off-head products are computed and
+    discarded (the MXU rows were idle anyway; every vector op is Hg*r
+    times wider);
+  * the packed stores unpack for all folded heads at once: the bitcast
+    crumb unpack of a (Hg*Dw, C) word tile yields rows in the order
+    rho(j, h, w, half) = j*(2*Hg*Dw) + h*(2*Dw) + 2w + half; K scales
+    apply per-j-block via static slices of the NATURAL scale layout;
+    V scales apply on the PROBABILITY rows (see quant_v_contrib); the
+    output folds back to channel order through a constant one-hot P
+    matmul — nothing is ever physically permuted;
+  * cross-head softmax leakage is impossible: off-head logits are -inf;
+  * dead chunks (beyond the valid cache length) cost neither compute
+    nor DMA: their block indices clamp to the last live block, so the
+    Pallas revisit-elision skips the fetch — a partially filled cache
+    only reads its live fraction (the per-head kernel always reads the
+    full T).
 
 Chunks ride the GRID (pipelined DMA); scratch carries the online softmax
 across chunks; the final grid step resolves the fp windows and the
@@ -41,8 +47,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from kivi_tpu.kernels.qk_pv import _unpack_bitcast
-
 NEG_INF = -1e30
 
 
@@ -56,8 +60,8 @@ def _iota(shape, dim):
 
 def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             vwb_ref, vsb_ref, vmb_ref, kwin_ref, vwin_ref, o_ref,
-            m_scr, l_scr, acc_scr, qbd_scr, qmn_scr, pwin_scr, maskv_scr,
-            pfold_scr, ev_scr, p_scr, *,
+            m_scr, l_scr, acc_scr, qbd_scr, qzp_scr, pwin_scr, maskv_scr,
+            pfold_scr, p_scr, *,
             k_bits: int, v_bits: int, gs: int, C: int, W: int, r: int,
             T: int, sm_scale: float, cdt):
     nkq = cnt_ref[0]
@@ -66,17 +70,26 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     t_total = nkq + nkw
     it = pl.program_id(1)
     nt = T // C
-    Hkv = kw_ref.shape[1]
+    Hkv = kw_ref.shape[1]            # the folded head-group size
     HR, D = q_ref.shape[1], q_ref.shape[2]
     HD = Hkv * D
-    kdw2 = 2 * (D * k_bits // 32)   # rho rows per (j, head) block for K
+    kdw2 = 2 * (D * k_bits // 32)    # rho rows per (j, head) block for K
     vdw2 = 2 * (D * v_bits // 32)
     njk = 16 // k_bits
+    njv = 16 // v_bits
+    nbv = Hkv * vdw2
     Dg = D // gs
     cg = C // gs
     Fk = float({2: 128, 4: 16}[k_bits])
     Fv = float({2: 128, 4: 16}[v_bits])
+    expo = jnp.uint32(0x3F80_3F80)
     kw = dict(preferred_element_type=jnp.float32)
+    # V j-block channel span [j*vdw2, (j+1)*vdw2) sits in ONE quant group
+    # when gs % vdw2 == 0: the dequant affine then moves to the
+    # PROBABILITY rows (HR of them) instead of the value columns (nbv):
+    # out = (p*F*scale).(b-1) + rowsum(p*mn).  Per-value work drops to
+    # the crumb unpack plus one exact subtract.
+    v_bcast = gs % vdw2 == 0
 
     head_of_row = _iota((HR, 1), 0) // r          # (HR, 1)
 
@@ -95,29 +108,27 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             col_h = _iota((HR, Hkv * kdw2), 1) // kdw2
             qbd_scr[:, j * Hkv * kdw2:(j + 1) * Hkv * kdw2] = jnp.where(
                 col_h == head_of_row, qj, 0)
-        # natural-order block-diagonal q for the zero-point projection
+        # natural-order block-diagonal q for the zero-point projection.
+        # NOTE: do NOT fold the -1 crumb offset in here (as -q.(F*scale)):
+        # the kernel would then multiply b = 1 + c/F by the scale in bf16,
+        # whose 2^-8 relative rounding is F/256 of the signal after the
+        # cancellation — ruinous at 2-bit (F=128).  The explicit b - 1
+        # (exact in bf16) is precision-load-bearing.
         q_nat = jnp.where(_iota((HR, HD), 1) // D == head_of_row,
                           pltpu.repeat(q, Hkv, 1), 0)
         Tg = km_ref.shape[-1]
-        qmn_scr[:] = jnp.dot(q_nat, km_ref[0].reshape(HD, Tg).astype(cdt),
+        qzp_scr[:] = jnp.dot(q_nat, km_ref[0].reshape(HD, Tg).astype(cdt),
                              **kw)
-        # V-rho row head mask (HR, HD)
+        # V-rho row head mask (HR, Hkv*vdw2*njv == HD)
         vrho_h = (_iota((HR, HD), 1) % (Hkv * vdw2)) // vdw2
         maskv_scr[:] = (vrho_h == head_of_row).astype(cdt)
         # P: one-hot (HD, D) folding V-rho rows to channel order
         rho = _iota((HD, D), 0)
         dd = (rho // (Hkv * vdw2)) * vdw2 + rho % vdw2
         pfold_scr[:] = (dd == _iota((HD, D), 1)).astype(cdt)
-        # E: one-hot (Hkv*Dg, HD) expanding V scales over rho rows
-        rho2 = _iota((Hkv * Dg, HD), 1)
-        hh = (rho2 % (Hkv * vdw2)) // vdw2
-        dd2 = (rho2 // (Hkv * vdw2)) * vdw2 + rho2 % vdw2
-        ev_scr[:] = jnp.logical_and(
-            hh == _iota((Hkv * Dg, HD), 0) // Dg,
-            dd2 // gs == _iota((Hkv * Dg, HD), 0) % Dg).astype(cdt)
 
     def online(s):
-        """Online softmax bookkeeping; returns p (f32) and alpha."""
+        """Online softmax bookkeeping; returns p (f32)."""
         m_prev = m_scr[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
@@ -130,91 +141,109 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         acc_scr[:] = acc_scr[:] * alpha
         return p
 
-    def add_quant_v(p_cdt, vcols_rho):
-        """acc += fold(p @ vcols^T): p (HR, n) cdt, vcols (HD, n) rho."""
-        ow = jax.lax.dot_general(p_cdt, vcols_rho,
-                                 (((1,), (1,)), ((), ())), **kw)
-        ow = ow * maskv_scr[:].astype(jnp.float32)
-        acc_scr[:] = acc_scr[:] + jnp.dot(ow.astype(cdt), pfold_scr[:],
-                                          **kw)
+    def quant_v_contrib(p, words3, vs3, vm3, pos0):
+        """(HR, D) quantized-V contribution for one n-column span.
 
-    def deq_v_cols(words, vscale, vmn, pos0):
-        """(Hkv*VDw, n) words -> (HD, n) rho-row V columns, zeroed where
-        pos0 + col >= nvq."""
-        n = words.shape[-1]
-        vals = _unpack_bitcast(words, v_bits, cdt) - cdt(1.0)
-        vs = jax.lax.dot_general(
-            ev_scr[:], vscale.reshape(Hkv * Dg, n) * cdt(Fv),
-            (((0,), (0,)), ((), ())), **kw).astype(cdt)
-        vm = jax.lax.dot_general(
-            ev_scr[:], vmn.reshape(Hkv * Dg, n),
-            (((0,), (0,)), ((), ())), **kw).astype(cdt)
-        vcols = vals * vs + vm
-        live = pos0 + _iota((HD, n), 1) < nvq
-        return jnp.where(live, vcols, 0.0)
+        p (HR, n) f32 probabilities; words3 (Hkv, VDw, n) packed codes;
+        vs3/vm3 (Hkv, Dg, n) scale/zp; positions pos0 + col, dead
+        (>= nvq) columns contribute 0.
+        """
+        n = words3.shape[-1]
+        pc = p.astype(cdt)
+        vlive = (pos0 + _iota((1, n), 1) < nvq).astype(cdt)
+        mask2v = jnp.uint32({2: 0x0003_0003, 4: 0x000F_000F}[v_bits])
+        vwords = words3.reshape(Hkv * words3.shape[1], n)
+        if not v_bcast:
+            # one-hot rho-row expansion fallback (gs < vdw2)
+            rho2 = _iota((Hkv * Dg, nbv), 1)
+            hh = rho2 // vdw2
+            dd2 = rho2 % vdw2  # channel offset inside the j-block
+            vscale = vs3.reshape(Hkv * Dg, n).astype(cdt) * cdt(Fv)
+            vmn = vm3.reshape(Hkv * Dg, n).astype(cdt)
+        acc_add = jnp.zeros((HR, D), jnp.float32)
+        consts = []
+        for j in range(njv):
+            t = (vwords >> jnp.uint32(v_bits * j)) & mask2v
+            if v_bits == 4:
+                t = t << jnp.uint32(3)
+            vals_j = pltpu.bitcast(t | expo, jnp.bfloat16).astype(cdt)
+            vals_j = vals_j - cdt(1.0)   # exact c/F; see _init note
+            if v_bcast:
+                gj = j * vdw2 // gs
+                # own-head scale/zp rows expanded over the r query rows
+                vs_row = vs3[:, gj, :].astype(cdt) * cdt(Fv)
+                vm_row = vm3[:, gj, :].astype(cdt)           # (Hkv, n)
+                if r > 1:
+                    vs_row = jnp.repeat(vs_row, r, axis=0)
+                    vm_row = jnp.repeat(vm_row, r, axis=0)   # (HR, n)
+                p2 = pc * vs_row * vlive                     # (HR, n)
+                consts.append(jnp.sum(
+                    p * (vm_row * vlive).astype(jnp.float32),
+                    axis=-1, keepdims=True))                 # (HR, 1) f32
+                ow_j = jax.lax.dot_general(p2.astype(cdt), vals_j,
+                                           (((1,), (1,)), ((), ())), **kw)
+            else:
+                ev_j = jnp.logical_and(
+                    hh == _iota((Hkv * Dg, nbv), 0) // Dg,
+                    (j * vdw2 + dd2) // gs
+                    == _iota((Hkv * Dg, nbv), 0) % Dg).astype(cdt)
+                vs_j = jax.lax.dot_general(
+                    ev_j, vscale, (((0,), (0,)), ((), ())), **kw
+                ).astype(cdt)
+                vm_j = jax.lax.dot_general(
+                    ev_j, vmn, (((0,), (0,)), ((), ())), **kw).astype(cdt)
+                vcols_j = (vals_j * vs_j + vm_j) * vlive
+                ow_j = jax.lax.dot_general(pc, vcols_j,
+                                           (((1,), (1,)), ((), ())), **kw)
+            ow_j = ow_j * maskv_scr[:, j * nbv:(j + 1) * nbv].astype(
+                jnp.float32)
+            acc_add = acc_add + jnp.dot(
+                ow_j.astype(cdt), pfold_scr[j * nbv:(j + 1) * nbv, :],
+                **kw)
+        if consts:
+            acc_add = acc_add + jnp.concatenate(
+                [jnp.broadcast_to(c, (HR, vdw2)) for c in consts], axis=1)
+        return acc_add
 
     # ---- chunk steps ------------------------------------------------------
     # All chunk math runs in per-j-block pieces (rows Hkv*2Dw at a time):
-    # materializing the full (HD, C) dequantized tiles blew the 16 MB VMEM
-    # budget at T=4096; the per-block form keeps every temporary at
+    # materializing the full (HD, C) dequantized tiles blows the 16 MB
+    # VMEM budget at T=4096; the per-block form keeps every temporary at
     # (Hkv*2Dw, C) while issuing the same total MXU work.
     @pl.when(jnp.logical_and(it < nt, it * C < nkq))
     def _chunk():
         t0 = it * C
         mask2 = jnp.uint32({2: 0x0003_0003, 4: 0x000F_000F}[k_bits])
-        expo = jnp.uint32(0x3F80_3F80)
         kwords = kw_ref[0].reshape(Hkv * kw_ref.shape[2], C)
         Tg = km_ref.shape[-1]
-        # global group -> chunk-column one-hot (Tg, C)
-        Eg = (_iota((Tg, C), 0) == (t0 + _iota((Tg, C), 1)) // gs)
-        Eg = Eg.astype(cdt)
-        s = jnp.dot(qmn_scr[:].astype(cdt), Eg, **kw)        # zp term
+        # two-stage group->token expansion: a direct (Tg, C) one-hot dot
+        # costs nb*Tg*C per j-block (8x the QK work itself at T=4096);
+        # selecting the chunk's cg groups first drops it to
+        # nb*(Tg*cg + cg*C)
+        sel_t = (_iota((Tg, cg), 0) == it * cg + _iota((Tg, cg), 1))
+        sel_t = sel_t.astype(cdt)                            # (Tg, cg)
+        Egl = (_iota((cg, C), 0) == _iota((cg, C), 1) // gs).astype(cdt)
+        qzp_sel = jnp.dot(qzp_scr[:].astype(cdt), sel_t, **kw)
+        s = jnp.dot(qzp_sel.astype(cdt), Egl, **kw)          # zp term
         nb = Hkv * kdw2
         for j in range(njk):
             t = (kwords >> jnp.uint32(k_bits * j)) & mask2
             if k_bits == 4:
                 t = t << jnp.uint32(3)
             vals_j = pltpu.bitcast(t | expo, jnp.bfloat16).astype(cdt)
-            vals_j = vals_j - cdt(1.0)                       # (nb, C)
+            vals_j = vals_j - cdt(1.0)   # exact c/F; see _init note
             sblk = ks_ref[0, :, j * kdw2:(j + 1) * kdw2, :]
             sblk = sblk.reshape(nb, Tg).astype(cdt) * cdt(Fk)
-            sexp_j = jnp.dot(sblk, Eg, **kw).astype(cdt)
+            ssel_j = jnp.dot(sblk, sel_t, **kw).astype(cdt)  # (nb, cg)
+            sexp_j = jnp.dot(ssel_j, Egl, **kw).astype(cdt)
             s += jnp.dot(qbd_scr[:, j * nb:(j + 1) * nb].astype(cdt),
                          vals_j * sexp_j, **kw)
         pos_row = t0 + _iota((HR, C), 1)
         s = jnp.where(pos_row < nkq, s, NEG_INF)
 
         p = online(s)
-        pc = p.astype(cdt)
-        # V side, also per j-block
-        mask2v = jnp.uint32({2: 0x0003_0003, 4: 0x000F_000F}[v_bits])
-        vwords = vw_ref[0].reshape(Hkv * vw_ref.shape[2], C)
-        vlive = (t0 + _iota((1, C), 1) < nvq).astype(cdt)    # (1, C)
-        vscale = vs_ref[0].reshape(Hkv * Dg, C).astype(cdt) * cdt(Fv)
-        vmn = vm_ref[0].reshape(Hkv * Dg, C).astype(cdt)
-        nbv = Hkv * vdw2
-        njv = 16 // v_bits
-        acc_add = jnp.zeros_like(acc_scr)
-        for j in range(njv):
-            t = (vwords >> jnp.uint32(v_bits * j)) & mask2v
-            if v_bits == 4:
-                t = t << jnp.uint32(3)
-            vals_j = pltpu.bitcast(t | expo, jnp.bfloat16).astype(cdt)
-            vals_j = vals_j - cdt(1.0)                       # (nbv, C)
-            Ej = ev_scr[:, j * nbv:(j + 1) * nbv]            # (HkvDg, nbv)
-            vs_j = jax.lax.dot_general(
-                Ej, vscale, (((0,), (0,)), ((), ())), **kw).astype(cdt)
-            vm_j = jax.lax.dot_general(
-                Ej, vmn, (((0,), (0,)), ((), ())), **kw).astype(cdt)
-            vcols_j = (vals_j * vs_j + vm_j) * vlive
-            ow_j = jax.lax.dot_general(pc, vcols_j,
-                                       (((1,), (1,)), ((), ())), **kw)
-            ow_j = ow_j * maskv_scr[:, j * nbv:(j + 1) * nbv].astype(
-                jnp.float32)
-            acc_add = acc_add + jnp.dot(
-                ow_j.astype(cdt), pfold_scr[j * nbv:(j + 1) * nbv, :],
-                **kw)
-        acc_scr[:] = acc_scr[:] + acc_add
+        acc_scr[:] = acc_scr[:] + quant_v_contrib(
+            p, vw_ref[0], vs_ref[0], vm_ref[0], t0)
 
         # strip capture: probabilities of positions [nvq, nvq+W) live in
         # this chunk when it contains nvq (128-aligned lane slice)
@@ -243,17 +272,12 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         # quantized V for window positions still in the store
         # (pos in [nkq, nvq)): aligned W-slice of the pinned v block
         in_blk = pl.multiple_of(nkq - (nkq // C) * C, 128)
-        vdw = vwb_ref.shape[2]
-        vw_slice = vwb_ref[0, :, :, pl.ds(in_blk, W)].reshape(
-            Hkv * vdw, W)
-        vcols = deq_v_cols(
-            vw_slice,
-            vsb_ref[0, :, :, pl.ds(in_blk, W)].reshape(Hkv * Dg, W)
-            .astype(cdt),
-            vmb_ref[0, :, :, pl.ds(in_blk, W)].reshape(Hkv * Dg, W)
-            .astype(cdt),
+        acc_scr[:] = acc_scr[:] + quant_v_contrib(
+            p_own,
+            vwb_ref[0, :, :, pl.ds(in_blk, W)],
+            vsb_ref[0, :, :, pl.ds(in_blk, W)],
+            vmb_ref[0, :, :, pl.ds(in_blk, W)],
             nkq)
-        add_quant_v(p_own.astype(cdt), vcols)
 
         # merge window probs into the strip buffer at their positions
         delta = nkq - nvq   # 128-aligned, in [-W, W]
@@ -273,25 +297,46 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         o_ref[0] = acc_scr[:] / jnp.where(l > 0, l, 1.0)
 
 
+def default_head_fold(Hkv: int, r: int, D: int, Tg: int) -> int:
+    """Largest Hg dividing Hkv with Hg*r <= 32 rows and the full-width
+    K scale/zp planes bounded (~1 MiB bf16) — the VMEM governor that
+    makes the fold legal for MHA (folding all 32 heads OOMs)."""
+    hg = 1
+    for cand in (2, 4, 8, 16, 32):
+        if (Hkv % cand == 0 and cand * r <= 32
+                and 2 * 2 * cand * D * Tg <= (1 << 20)):
+            hg = cand
+    return hg
+
+
 @functools.partial(
     jax.jit, static_argnames=("group_size", "k_bits", "v_bits", "chunk",
-                              "compute_dtype"))
+                              "compute_dtype", "head_fold"))
 def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
                                 v_scale, v_mn, k_win, v_win, n_k_quant,
                                 n_k_win, n_v_quant, *, group_size: int,
                                 k_bits: int, v_bits: int, chunk: int = 512,
-                                compute_dtype=jnp.bfloat16):
-    """qg (B,Hkv,r,D) + KiviLayerCache arrays -> (B,Hkv,r,D) f32."""
+                                compute_dtype=jnp.bfloat16,
+                                head_fold: int | None = None):
+    """qg (B,Hkv,r,D) + KiviLayerCache arrays -> (B,Hkv,r,D) f32.
+
+    head_fold (Hg): KV heads folded into one program (must divide Hkv).
+    Each program owns Hg*r query rows; grid is (B * Hkv/Hg, T/C + 1).
+    """
     B, Hkv, r, D = qg.shape
     T = k_codes.shape[-1]
     W = k_win.shape[2]
     gs = group_size
     C = min(chunk, T)
     assert T % C == 0 and C % gs == 0 and W % 128 == 0 and W <= C
-    HR = Hkv * r
     KDw, VDw = k_codes.shape[2], v_codes.shape[2]
     Dg, Tg = D // gs, T // gs
     nt = T // C
+    Hg = head_fold if head_fold is not None else default_head_fold(
+        Hkv, r, D, Tg)
+    assert Hkv % Hg == 0
+    ng = Hkv // Hg
+    HR = Hg * r
     cnt = jnp.stack([jnp.asarray(n_k_quant, jnp.int32),
                      jnp.asarray(n_k_win, jnp.int32),
                      jnp.asarray(n_v_quant, jnp.int32)])
@@ -299,53 +344,58 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
     kernel = functools.partial(
         _kernel, k_bits=k_bits, v_bits=v_bits, gs=gs, C=C, W=W, r=r, T=T,
         sm_scale=1.0 / (D ** 0.5), cdt=compute_dtype)
-    full = lambda b, t, *_: (b, 0, 0)
-    full4 = lambda b, t, *_: (b, 0, 0, 0)
-    chunk4 = lambda b, t, *_: (b, 0, 0, jnp.minimum(t, nt - 1))
+    full = lambda i, t, *_: (i, 0, 0)
+    full4 = lambda i, t, *_: (i // ng, i % ng, 0, 0)
+    # Dead chunks clamp to the last live block: consecutive equal block
+    # indices make Pallas skip the fetch, so a partially filled cache
+    # DMAs only its live fraction.
+    chunk4 = lambda i, t, cnt: (
+        i // ng, i % ng, 0,
+        jnp.clip(jnp.minimum(t, (cnt[0] + C - 1) // C - 1), 0, nt - 1))
     # the window phase needs the v-store block containing [nkq, nkq+W):
     # pinned via scalar prefetch (clamped for the full-cache edge where
     # nkq == T would index one block past the store)
-    pin4 = lambda b, t, cnt: (b, 0, 0, jnp.minimum(cnt[0] // C, nt - 1))
+    pin4 = lambda i, t, cnt: (i // ng, i % ng, 0,
+                              jnp.minimum(cnt[0] // C, nt - 1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, nt + 1),
+        grid=(B * ng, nt + 1),
         in_specs=[
             pl.BlockSpec((1, HR, D), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, KDw, C), chunk4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, D, Tg), full4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, D, Tg), full4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, VDw, C), chunk4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, Dg, C), chunk4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, Dg, C), chunk4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, VDw, C), pin4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, Dg, C), pin4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, Dg, C), pin4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, W, D), full4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hkv, W, D), full4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, KDw, C), chunk4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, D, Tg), full4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, D, Tg), full4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, VDw, C), chunk4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, Dg, C), chunk4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, Dg, C), chunk4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, VDw, C), pin4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, Dg, C), pin4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, Dg, C), pin4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, W, D), full4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, W, D), full4, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, HR, D), full, memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((HR, 128), jnp.float32),              # m
             pltpu.VMEM((HR, 128), jnp.float32),              # l
             pltpu.VMEM((HR, D), jnp.float32),                # acc
-            pltpu.VMEM((HR, Hkv * D), compute_dtype),        # q block-diag
-            pltpu.VMEM((HR, Tg), jnp.float32),               # qmn
+            pltpu.VMEM((HR, Hg * D), compute_dtype),         # q block-diag
+            pltpu.VMEM((HR, Tg), jnp.float32),               # qzp
             pltpu.VMEM((HR, 3 * W), jnp.float32),            # strip probs
-            pltpu.VMEM((HR, Hkv * D), compute_dtype),        # V head mask
-            pltpu.VMEM((Hkv * D, D), compute_dtype),         # P fold
-            pltpu.VMEM((Hkv * Dg, Hkv * D), compute_dtype),  # E v-scale
+            pltpu.VMEM((HR, Hg * D), compute_dtype),         # V head mask
+            pltpu.VMEM((Hg * D, D), compute_dtype),          # P fold
             pltpu.VMEM((HR, C), jnp.float32),                # p staging
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, HR, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B * ng, HR, D), jnp.float32),
         interpret=_use_interpret(),
     )(
         cnt,
-        qg.astype(compute_dtype).reshape(B, HR, D),
+        qg.astype(compute_dtype).reshape(B * ng, HR, D),
         k_codes, k_scale.astype(compute_dtype),
         k_mn.astype(compute_dtype),
         v_codes, v_scale.astype(compute_dtype),

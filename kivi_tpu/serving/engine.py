@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -46,11 +47,32 @@ class Engine:
             functools.partial(self._decode_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
             donate_argnums=(3,))
-        self._decode_scan = jax.jit(
+        self._decode_scan_jit = jax.jit(
             functools.partial(self._decode_scan_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
             static_argnames=("steps", "temperature", "prompt_len"),
             donate_argnums=(3,))
+
+    def _decode_scan(self, params, first_token, first_pos, caches, rng, *,
+                     steps: int, temperature: float = 0.0,
+                     prompt_len: int = 0):
+        """_decode_scan_fn with the static prompt_len canonicalized: the
+        flush schedule depends only on prompt_len mod lcm(W, v_flush)
+        (plus the prompt_len <= W edge), so resuming decode at a later
+        position with the same phase reuses the compilation instead of
+        recompiling per call site."""
+        qcfg = self.qcfg
+        if not qcfg.quantize_kv:
+            prompt_len = 0          # only gates flush scheduling
+        elif prompt_len > 0:
+            W, vf = qcfg.residual_length, qcfg.value_flush
+            L = W * vf // math.gcd(W, vf)
+            if prompt_len > W + L:
+                prompt_len = W + 1 + (prompt_len - W - 1) % L
+        return self._decode_scan_jit(params, first_token, first_pos,
+                                     caches, rng, steps=steps,
+                                     temperature=temperature,
+                                     prompt_len=prompt_len)
 
     # -- jitted bodies ----------------------------------------------------
 

@@ -52,6 +52,12 @@ class Engine:
                               qcfg=self.qcfg, impl=self.impl),
             static_argnames=("steps", "temperature", "prompt_len"),
             donate_argnums=(3,))
+        self._beam_scan = jax.jit(
+            functools.partial(self._beam_scan_fn, cfg=self.cfg,
+                              qcfg=self.qcfg, impl=self.impl),
+            static_argnames=("steps", "num_beams", "eos_token_id",
+                             "prompt_len"),
+            donate_argnums=(3,))
 
     def _decode_scan(self, params, first_token, first_pos, caches, rng, *,
                      steps: int, temperature: float = 0.0,
@@ -163,6 +169,106 @@ class Engine:
                 carry = (token, pos, caches, rng)
         return jnp.concatenate(tok_segs, axis=1), carry[2]
 
+    @staticmethod
+    def _beam_scan_fn(params, first_logits, first_pos, caches, *, cfg,
+                      qcfg, impl, steps: int, num_beams: int,
+                      eos_token_id: int, prompt_len: int = 0):
+        """Beam-search decode: `steps` tokens fully on-device.
+
+        first_logits (B*nb, V) from prefill of the nb-tiled prompts.
+        Returns (tokens (B, nb, steps) i32 — already re-ordered so row j
+        is beam j's full history, scores (B, nb) raw logprob sums,
+        lengths (B, nb) tokens before EOS, caches).  The reference gets
+        beam search from HF generate + `_reorder_cache`
+        (`/root/reference/models/llama_kivi.py:950-957`).
+        """
+        from kivi_tpu.cache import kivi_cache as KC
+
+        nb = num_beams
+        B = first_logits.shape[0] // nb
+        V = first_logits.shape[-1]
+        NEG = jnp.float32(-1e9)
+        static_flush = prompt_len > 0 and qcfg.quantize_kv
+
+        def advance(logits, state):
+            """One beam step from logits (B*nb, V)."""
+            scores, alive, lengths, out, s = state
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            # finished beams may only emit EOS, at no cost
+            eos_only = jnp.full((V,), NEG).at[eos_token_id].set(0.0)
+            logp = jnp.where(alive.reshape(B * nb, 1), logp, eos_only)
+            total = scores.reshape(B, nb, 1) + logp.reshape(B, nb, V)
+            top, flat = jax.lax.top_k(total.reshape(B, nb * V), nb)
+            parent = flat // V                               # (B, nb)
+            token = (flat % V).astype(jnp.int32)
+            gather = lambda x: jnp.take_along_axis(x, parent, axis=1)
+            alive = jnp.logical_and(gather(alive),
+                                    token != eos_token_id)
+            lengths = gather(lengths) + alive.astype(jnp.int32)
+            out = jnp.take_along_axis(
+                out, parent[:, :, None], axis=1)
+            out = jax.lax.dynamic_update_slice(
+                out, token[:, :, None], (0, 0, s))
+            flat_parent = (jnp.arange(B)[:, None] * nb + parent).reshape(-1)
+            return (top, alive, lengths, out, s + 1), token, flat_parent
+
+        def body(carry, _):
+            token, pos, caches, state = carry
+            logits, caches = modeling.forward(
+                params, token, caches, cfg, qcfg, pos,
+                mode="decode", impl=impl, flush=not static_flush)
+            state, nxt, flat_parent = advance(logits[:, -1, :], state)
+            caches = [KC.reorder(c, flat_parent) for c in caches]
+            return (nxt.reshape(B * nb, 1), pos + 1, caches, state), None
+
+        out0 = jnp.zeros((B, nb, steps), jnp.int32)
+        scores0 = jnp.tile(jnp.concatenate(
+            [jnp.zeros((1,)), jnp.full((nb - 1,), NEG)]), (B, 1))
+        state = (scores0.astype(jnp.float32),
+                 jnp.ones((B, nb), bool), jnp.zeros((B, nb), jnp.int32),
+                 out0, 0)
+        # step 0 consumes the prefill logits (outside the scan: its state
+        # update has static index s=0)
+        state, tok0, flat_parent = advance(first_logits, state)
+        caches = [KC.reorder(c, flat_parent) for c in caches]
+        carry = (tok0.reshape(B * nb, 1), first_pos, caches, state)
+
+        def run(carry, n):
+            if n <= 0:
+                return carry
+            # state's step counter must be traced inside scan: lift it
+            token, pos, caches, (sc, al, ln, out, s) = carry
+            def sbody(c, _):
+                token, pos, caches, state = c
+                (c2, _) = body((token, pos, caches, state), None)
+                return c2, None
+            carry = ((token, pos, caches,
+                      (sc, al, ln, out, jnp.asarray(s, jnp.int32))))
+            carry, _ = jax.lax.scan(sbody, carry, None, length=n)
+            return carry
+
+        # steps-1 decode forwards remain (token 0 came from the prefill
+        # logits); flush events index those forwards exactly as in
+        # _decode_scan_fn
+        n_body = steps - 1
+        if not static_flush:
+            carry = run(carry, n_body)
+        else:
+            events = Engine._flush_schedule(qcfg, prompt_len, n_body)
+            done = 0
+            boundaries = sorted(events) + [n_body]
+            for b in boundaries:
+                carry = run(carry, b - done)
+                done = b
+                if b in events:
+                    fk, fv = events[b]
+                    token, pos, caches, state = carry
+                    caches = modeling.flush_caches(caches, qcfg, impl,
+                                                   k=fk, v=fv)
+                    carry = (token, pos, caches, state)
+        token, pos, caches, (scores, alive, lengths, out, _) = carry
+        return out, scores, lengths, caches
+
     # -- public API --------------------------------------------------------
 
     def init_caches(self):
@@ -207,3 +313,33 @@ class Engine:
             keep = (seen - (out == eos_token_id)) == 0  # tokens before eos
             out = jnp.where(keep, out, eos_token_id)
         return out
+
+    def generate_beam(self, tokens: jax.Array, max_new_tokens: int,
+                      num_beams: int, eos_token_id: int = -1,
+                      length_penalty: float = 1.0) -> jax.Array:
+        """Beam-search generation: tokens (B, T) -> (B, max_new_tokens).
+
+        The engine must be built with batch_size == B * num_beams (the
+        beams live as batch rows; the KIVI cache re-orders by a batch
+        gather each step — see kivi_cache.reorder).  eos_token_id=-1
+        disables EOS (pure max-likelihood beams of fixed length).
+        length_penalty follows HF convention: score / length**penalty.
+        """
+        B, T = tokens.shape
+        nb = num_beams
+        assert B * nb == self.batch_size, (
+            f"engine batch_size {self.batch_size} != B*num_beams {B * nb}")
+        assert T + max_new_tokens <= self.max_seq_len, "cache too small"
+        tiled = jnp.repeat(tokens, nb, axis=0)               # (B*nb, T)
+        caches = self.init_caches()
+        first_logits, caches = self._prefill(self.params, tiled, caches)
+        pos = jnp.full((B * nb, 1), T, jnp.int32)
+        out, scores, lengths, caches = self._beam_scan(
+            self.params, first_logits, pos, caches,
+            steps=max_new_tokens, num_beams=nb,
+            eos_token_id=int(eos_token_id), prompt_len=T)
+        lengths = jnp.maximum(lengths, 1)       # non-EOS token count
+        final = scores / (lengths.astype(jnp.float32) ** length_penalty)
+        best = jnp.argmax(final, axis=1)                     # (B,)
+        return jnp.take_along_axis(
+            out, best[:, None, None], axis=1)[:, 0, :]

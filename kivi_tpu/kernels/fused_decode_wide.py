@@ -226,6 +226,9 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         qzp_sel = jnp.dot(qzp_scr[:].astype(cdt), sel_t, **kw)
         s = jnp.dot(qzp_sel.astype(cdt), Egl, **kw)          # zp term
         nb = Hkv * kdw2
+        # scaled values for all j-blocks concatenated, ONE QK dot over
+        # the full (HR, HD) x (HD, C) contraction
+        vs_parts = []
         for j in range(njk):
             t = (kwords >> jnp.uint32(k_bits * j)) & mask2
             if k_bits == 4:
@@ -236,8 +239,9 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             sblk = sblk.reshape(nb, Tg).astype(cdt) * cdt(Fk)
             ssel_j = jnp.dot(sblk, sel_t, **kw).astype(cdt)  # (nb, cg)
             sexp_j = jnp.dot(ssel_j, Egl, **kw).astype(cdt)
-            s += jnp.dot(qbd_scr[:, j * nb:(j + 1) * nb].astype(cdt),
-                         vals_j * sexp_j, **kw)
+            vs_parts.append(vals_j * sexp_j)
+        vsc = jnp.concatenate(vs_parts, axis=0)              # (HD, C)
+        s += jnp.dot(qbd_scr[:].astype(cdt), vsc, **kw)
         pos_row = t0 + _iota((HR, C), 1)
         s = jnp.where(pos_row < nkq, s, NEG_INF)
 

@@ -93,15 +93,26 @@ def fp_decode_attention_kernel(q, k, v, length, *, blk_t: int = 1024,
     kernel = functools.partial(
         _kernel, blk_t=blk_t, sm_scale=1.0 / (D ** 0.5),
         sliding_window=sliding_window)
+    # Dead blocks (beyond the valid length) clamp to the last live block:
+    # consecutive equal indices make Pallas skip the fetch, so a
+    # partially filled cache DMAs only its live fraction (mirrors the
+    # KIVI wide kernel's dead-chunk elision — the two bench engines pay
+    # symmetric costs).
+    def _tclamp(b, t, ln):
+        last = jnp.maximum((ln[b] + blk_t - 1) // blk_t - 1, 0)
+        return jnp.minimum(t, last)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BH, T // blk_t),
         in_specs=[
             pl.BlockSpec((1, r, D), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, blk_t), lambda b, t, *_: (b, 0, t),
+            pl.BlockSpec((1, D, blk_t),
+                         lambda b, t, ln: (b, 0, _tclamp(b, t, ln)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk_t, D), lambda b, t, *_: (b, t, 0),
+            pl.BlockSpec((1, blk_t, D),
+                         lambda b, t, ln: (b, _tclamp(b, t, ln), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, r, D), lambda b, t, *_: (b, 0, 0),

@@ -229,17 +229,35 @@ def _pv_kernel(nq_ref, p_ref, w_ref, s_ref, m_ref, o_ref, *, bits: int,
             w_ref[0], s_ref[0].astype(cdt), m_ref[0].astype(cdt), bits, cdt)
         D = vals.shape[0]
         dg = scale.shape[0]
-        expand = _group_expand_rows(dg, D, cdt)       # (Dg, D)
-        # scale_exp (D, Tblk) = E^T @ scale (tiny matmul)
-        scale_exp = jax.lax.dot_general(
-            expand, scale.astype(cdt), (((0,), (0,)), ((), ())),
-            **kw).astype(cdt)
-        # out_blk (r, D) = p @ (vals * scale_exp)^T (NT, contract Tblk)
-        acc = jax.lax.dot_general(p, vals * scale_exp,
-                                  (((1,), (1,)), ((), ())), **kw)
-        pmn = jax.lax.dot_general(p, mn.astype(cdt),
-                                  (((1,), (1,)), ((), ())), **kw)
-        acc += jnp.dot(pmn.astype(cdt), expand, **kw)
+        if dg == 1:
+            # single group spanning all channels (tiny head_dim): the
+            # one-hot expansion degenerates to a broadcast.  All math in
+            # f32 — Mosaic mis-lowers bf16 dots at these degenerate
+            # shapes ('vector.broadcast' with a dtype change)
+            f32 = jnp.float32
+            scale_exp = jnp.broadcast_to(scale.astype(f32),
+                                         (D, scale.shape[1]))
+            acc = jax.lax.dot_general(
+                p.astype(f32), vals.astype(f32) * scale_exp,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            pmn = jax.lax.dot_general(
+                p.astype(f32), mn.astype(f32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            acc += jnp.broadcast_to(pmn, (p.shape[0], D))
+        else:
+            expand = _group_expand_rows(dg, D, cdt)   # (Dg, D)
+            # scale_exp (D, Tblk) = E^T @ scale (tiny matmul)
+            scale_exp = jax.lax.dot_general(
+                expand, scale.astype(cdt), (((0,), (0,)), ((), ())),
+                **kw).astype(cdt)
+            # out_blk (r, D) = p @ (vals*scale_exp)^T (NT, contract Tblk)
+            acc = jax.lax.dot_general(p, vals * scale_exp,
+                                      (((1,), (1,)), ((), ())), **kw)
+            pmn = jax.lax.dot_general(p, mn.astype(cdt),
+                                      (((1,), (1,)), ((), ())), **kw)
+            acc += jnp.dot(pmn.astype(cdt), expand, **kw)
         o_ref[0] += acc
 
 

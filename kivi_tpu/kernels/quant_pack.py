@@ -81,8 +81,12 @@ def _quant_k_kernel(x_ref, s_ref, m_ref, w_ref, *, bits: int, gs: int):
     mn = m_ref[0]
     safe = jnp.where(scale > 0, scale, 1.0)
     expand = _onehot(G, T)                      # (G, Tblk)
-    mn_exp = jnp.dot(mn, expand, preferred_element_type=jnp.float32)
-    inv_exp = jnp.dot(1.0 / safe, expand, preferred_element_type=jnp.float32)
+    # one-hot selection must be EXACT: default TPU matmul precision runs
+    # f32 dots as single-pass bf16 and perturbs rounding by one code
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)
+    mn_exp = jnp.dot(mn, expand, **kw)
+    inv_exp = jnp.dot(1.0 / safe, expand, **kw)
     codes = jnp.clip(jnp.round((x - mn_exp) * inv_exp), 0.0, max_int)
     w_ref[0] = _pack_rows(codes.astype(jnp.int32), bits)
 
@@ -99,12 +103,12 @@ def _quant_v_kernel(x_ref, w_ref, s_ref, m_ref, *, bits: int, gs: int):
     safe = jnp.where(scale > 0, scale, 1.0)
     expand = _onehot(G, D)                      # (G, D)
     # (D, Tblk) = expand^T @ stats
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.HIGHEST)  # exact selection
     mn_exp = jax.lax.dot_general(
-        expand, mn, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        expand, mn, (((0,), (0,)), ((), ())), **kw)
     inv_exp = jax.lax.dot_general(
-        expand, 1.0 / safe, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        expand, 1.0 / safe, (((0,), (0,)), ((), ())), **kw)
     codes = jnp.clip(jnp.round((x - mn_exp) * inv_exp), 0.0, max_int)
     w_ref[0] = _pack_rows(codes.astype(jnp.int32), bits)
     s_ref[0] = scale
@@ -124,6 +128,12 @@ def quantize_pack_k(k_t, group_size: int, bits: int, t_block: int = 2048):
     t_block = min(t_block, T)
     assert T % t_block == 0 and t_block % gs == 0
     G = T // gs
+    # Mosaic requires a block's trailing dim to be 128-divisible or equal
+    # to the array dim; the scale block's trailing dim is t_block//gs, so
+    # an odd chunking must collapse to one full block on real TPU
+    # (interpret mode allows any chunking — CPU tests keep covering it)
+    if not _use_interpret() and t_block != T and (t_block // gs) % 128:
+        t_block = T
 
     # stats reduce in the INPUT dtype (min/max are exact in bf16), stats
     # themselves in f32 - never materialize a whole-array f32 copy (at
@@ -167,6 +177,10 @@ def quantize_pack_v(v_t, group_size: int, bits: int, t_block: int = 2048):
     Dg = D // gs
     t_block = min(t_block, T)
     assert T % t_block == 0
+    # same Mosaic trailing-dim rule as quantize_pack_k, here on t_block
+    # itself (every block's trailing dim is t_block)
+    if not _use_interpret() and t_block != T and t_block % 128:
+        t_block = T
     sspec = pl.BlockSpec((1, Dg, t_block), lambda b, t: (b, 0, t),
                          memory_space=pltpu.VMEM)
     words, scale, mn = pl.pallas_call(

@@ -10,6 +10,17 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+
+@pytest.fixture(autouse=True)
+def _exact_matmul():
+    """Token-exact equality between batch shapes needs exact math: at
+    TPU default matmul precision (single-pass bf16) the batcher's
+    batch-2 logits and the oracle engine's batch-1 logits round
+    differently and argmax ties flip on random-weight models."""
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
 from kivi_tpu.config import QuantConfig, tiny_config
 from kivi_tpu.models import modeling
 from kivi_tpu.serving.batcher import ContinuousBatcher, Request
@@ -33,7 +44,8 @@ def _oracle(params, prompt, max_new, bucket):
 def test_batcher_matches_engine(quant):
     qcfg = QCFG if quant else QuantConfig(k_bits=16, v_bits=16,
                                           group_size=32, residual_length=32)
-    params = modeling.init_params(CFG, jax.random.PRNGKey(0))
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
     rng = np.random.RandomState(0)
     prompts = [list(rng.randint(1, CFG.vocab_size, size=n))
                for n in (20, 32, 45, 17)]
@@ -74,7 +86,8 @@ def test_batcher_eos_retires_slot():
 
 
 def test_batcher_rejects_oversized():
-    params = modeling.init_params(CFG, jax.random.PRNGKey(0))
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
     bat = ContinuousBatcher(CFG, QCFG, params, num_slots=1,
                             max_seq_len=64, prompt_buckets=(32,))
     res = bat.run([Request(uid=7, prompt=[1] * 30, max_new_tokens=100)])

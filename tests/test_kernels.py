@@ -25,7 +25,8 @@ def test_qk_dequant_matmul_matches_oracle(bits, r):
                           jnp.float32)
     k_codes, k_scale, k_mn = Q.quantize_k_block(k_t, gs, bits)
     oracle = jnp.einsum("bhrd,bhdt->bhrt", q,
-                        Q.dequantize_k(k_codes, k_scale, k_mn, gs, bits))
+                        Q.dequantize_k(k_codes, k_scale, k_mn, gs, bits),
+                        precision="highest")
     got = qk_dequant_matmul(q, k_codes, k_scale, k_mn, gs, bits,
                             compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
@@ -46,7 +47,8 @@ def test_pv_dequant_matmul_matches_oracle(bits, r):
         jax.random.normal(jax.random.fold_in(key, 1), (B, H, r, T)), -1)
     v_codes, v_scale, v_mn = Q.quantize_v_block(v, gs, bits)
     oracle = jnp.einsum("bhrt,bhtd->bhrd", p,
-                        Q.dequantize_v(v_codes, v_scale, v_mn, gs, bits))
+                        Q.dequantize_v(v_codes, v_scale, v_mn, gs, bits),
+                        precision="highest")
     got = pv_dequant_matmul(p, v_codes, v_scale, v_mn, gs, bits,
                             compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
@@ -65,7 +67,8 @@ def test_qk_small_head_dim_and_t_block():
     q = jax.random.normal(jax.random.fold_in(key, 1), (B, H, 2, D))
     k_codes, k_scale, k_mn = Q.quantize_k_block(k_t, gs, bits)
     oracle = jnp.einsum("bhrd,bhdt->bhrt", q,
-                        Q.dequantize_k(k_codes, k_scale, k_mn, gs, bits))
+                        Q.dequantize_k(k_codes, k_scale, k_mn, gs, bits),
+                        precision="highest")
     got = qk_dequant_matmul(q, k_codes, k_scale, k_mn, gs, bits,
                             compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
@@ -87,7 +90,8 @@ def test_pv_zero_probs_tail_contributes_nothing():
                             compute_dtype=jnp.float32)
     oracle = jnp.einsum(
         "bhrt,bhtd->bhrd", pz,
-        Q.dequantize_v(v_codes, v_scale, v_mn, gs, bits))
+        Q.dequantize_v(v_codes, v_scale, v_mn, gs, bits),
+                        precision="highest")
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
                                rtol=2e-5, atol=2e-4)
 

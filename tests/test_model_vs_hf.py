@@ -21,6 +21,16 @@ from kivi_tpu.models.hf_loader import params_from_state_dict, config_from_hf
 from kivi_tpu.serving.engine import Engine
 
 
+@pytest.fixture(autouse=True)
+def _exact_matmul():
+    """HF references are exact f32 (torch CPU); on real TPU the default
+    matmul precision would run OUR f32 forwards as single-pass bf16 and
+    blow the 2e-3 parity tolerance.  All tests here use the jnp path
+    (no Pallas bf16 dots), so forcing exact f32 is safe."""
+    with jax.default_matmul_precision("highest"):
+        yield
+
+
 def tiny_hf_llama(gqa=True, rope_scaling=None):
     cfg = LlamaConfig(
         vocab_size=128, hidden_size=64, intermediate_size=128,

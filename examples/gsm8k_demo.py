@@ -44,10 +44,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", required=True)
     ap.add_argument("--question", default=DEFAULT_QUESTION)
-    ap.add_argument("--k-bits", type=int, default=2)
-    ap.add_argument("--v-bits", type=int, default=2)
-    ap.add_argument("--group-size", type=int, default=32)
-    ap.add_argument("--residual", type=int, default=32)
+    from kivi_tpu.cli import add_quant_flags
+    add_quant_flags(ap)         # one flag surface (kivi_tpu/cli.py)
     ap.add_argument("--max-new", type=int, default=96)
     ap.add_argument("--impl", default="pallas")
     args = ap.parse_args()
@@ -55,13 +53,11 @@ def main():
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
-    from kivi_tpu.config import QuantConfig
+    from kivi_tpu.cli import quant_config_from_args
     from kivi_tpu.models.hf_loader import load_hf_checkpoint
     from kivi_tpu.serving.engine import Engine
 
-    qcfg = QuantConfig(k_bits=args.k_bits, v_bits=args.v_bits,
-                       group_size=args.group_size,
-                       residual_length=args.residual)
+    qcfg = quant_config_from_args(args)
     cfg, params = load_hf_checkpoint(args.model_dir)
     tok = AutoTokenizer.from_pretrained(args.model_dir)
 

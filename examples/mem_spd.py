@@ -27,7 +27,9 @@ from kivi_tpu.utils.profiling import kv_cache_report, memory_snapshot
 
 
 def run(cfg, qcfg, params, batch, prompt, gen, repeats, impl):
-    ctx = 1 << (prompt + gen + 1).bit_length()
+    # cache sized for the warmup + every timed repeat (each continues
+    # decoding from the previous cache state)
+    ctx = 1 << (prompt + (repeats + 1) * gen + 1).bit_length()
     eng = Engine(cfg=cfg, qcfg=qcfg, params=params, max_seq_len=ctx,
                  batch_size=batch, impl=impl)
     tokens = jax.random.randint(jax.random.PRNGKey(0), (batch, prompt), 0,
@@ -40,11 +42,17 @@ def run(cfg, qcfg, params, batch, prompt, gen, repeats, impl):
                                    prompt_len=prompt)   # compile + warm
     float(jnp.sum(out.astype(jnp.float32)))
     times = []
-    for _ in range(repeats):
+    for i in range(repeats):
+        # prompt_len must track the TRUE fill (prompt + completed gens)
+        # or the static flush schedule fires at the wrong window phase;
+        # _decode_scan canonicalizes it so repeats reuse the same trace
+        # whenever the schedule phase repeats.
+        fill = prompt + (i + 1) * gen
         t0 = time.perf_counter()
         out, caches = eng._decode_scan(params, out[:, -1:],
-                                       pos + gen, caches, rng, steps=gen,
-                                       temperature=0.0, prompt_len=prompt)
+                                       jnp.full((batch, 1), fill, jnp.int32),
+                                       caches, rng, steps=gen,
+                                       temperature=0.0, prompt_len=fill)
         float(jnp.sum(out.astype(jnp.float32)))
         times.append(time.perf_counter() - t0)
     del caches
@@ -61,8 +69,11 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--layers", type=int, default=8,
                     help="Llama-2-7b geometry at this depth")
-    ap.add_argument("--k-bits", type=int, default=2)
-    ap.add_argument("--v-bits", type=int, default=2)
+    from kivi_tpu.cli import add_quant_flags
+    add_quant_flags(ap)         # one flag surface (kivi_tpu/cli.py)
+    # v_flush=128 admits the head-folded wide decode kernel (CLAUDE.md:
+    # any other value silently costs ~2x decode throughput)
+    ap.set_defaults(v_flush=128)
     args = ap.parse_args()
 
     cfg = ModelConfig(
@@ -73,10 +84,10 @@ def main():
     params = jax.block_until_ready(
         modeling.init_params(cfg, jax.random.PRNGKey(0)))
 
-    kivi = QuantConfig(k_bits=args.k_bits, v_bits=args.v_bits,
-                       group_size=32, residual_length=128, v_flush=128)
+    from kivi_tpu.cli import quant_config_from_args
+    kivi = quant_config_from_args(args)
     fp16 = QuantConfig(k_bits=16, v_bits=16, group_size=32,
-                       residual_length=128)
+                       residual_length=args.residual)
     rep = kv_cache_report(cfg, kivi, args.batch, 1024)
     print(f"cache/seq: kivi {rep['kivi_bytes_per_seq']/2**20:.1f} MiB, "
           f"fp16 {rep['fp16_bytes_per_seq']/2**20:.1f} MiB "

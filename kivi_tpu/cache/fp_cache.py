@@ -66,12 +66,14 @@ def fp_append(cache: FpLayerCache, k_new, v_new) -> FpLayerCache:
 
 def fp_decode_attention(q: jax.Array, cache: FpLayerCache,
                         sliding_window: Optional[int] = None,
-                        impl: str = "jnp") -> jax.Array:
+                        impl: str = "jnp",
+                        pad_len: Optional[jax.Array] = None) -> jax.Array:
     """Exact single-token decode attention over the fp cache.
 
     q: (B, Hq, 1, D) -> (B, Hq, 1, D) f32.  impl="pallas" uses the fused
     flash-decode kernel (kernels/fp_decode.py) — one pass over the cache,
-    no logit tensor in HBM, no XLA cache relayouts.
+    no logit tensor in HBM, no XLA cache relayouts.  pad_len: optional
+    (B,) i32 left-padding per row (positions < pad_len[b] masked).
     """
     B, Hq, M, D = q.shape
     Hkv = cache.k.shape[1]
@@ -82,7 +84,7 @@ def fp_decode_attention(q: jax.Array, cache: FpLayerCache,
         from kivi_tpu.kernels.fp_decode import fp_decode_attention_kernel
         out = fp_decode_attention_kernel(
             qg, cache.k, cache.v, cache.length,
-            sliding_window=sliding_window)
+            sliding_window=sliding_window, pad_len=pad_len)
         return out.reshape(B, Hq, M, D)
     att = jnp.einsum("bhrd,bhdt->bhrt", qg.astype(jnp.bfloat16),
                      cache.k).astype(jnp.float32)
@@ -91,6 +93,8 @@ def fp_decode_attention(q: jax.Array, cache: FpLayerCache,
     valid = pos < cache.length
     if sliding_window is not None:
         valid &= pos >= cache.length - sliding_window
+    if pad_len is not None:
+        valid &= pos >= jnp.asarray(pad_len, jnp.int32).reshape(B, 1, 1, 1)
     att = jnp.where(valid, att, -1e30)
     p = jax.nn.softmax(att, axis=-1)
     out = jnp.einsum("bhrt,bhtd->bhrd", p.astype(jnp.bfloat16), cache.v)

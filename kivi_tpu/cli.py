@@ -56,6 +56,15 @@ def add_engine_flags(ap: argparse.ArgumentParser):
     g.add_argument("--mesh-model", type=int, default=1)
 
 
+def quant_config_from_args(args) -> QuantConfig:
+    """Build a QuantConfig from a parser that used add_quant_flags."""
+    return QuantConfig(k_bits=args.k_bits, v_bits=args.v_bits,
+                       group_size=args.group_size,
+                       residual_length=args.residual,
+                       v_flush=getattr(args, "v_flush", 0),
+                       scale_dtype=getattr(args, "scale_dtype", "bfloat16"))
+
+
 def parse(argv=None, extra=None):
     ap = argparse.ArgumentParser()
     add_quant_flags(ap)
@@ -63,11 +72,7 @@ def parse(argv=None, extra=None):
     if extra:
         extra(ap)
     args = ap.parse_args(argv)
-    qcfg = QuantConfig(k_bits=args.k_bits, v_bits=args.v_bits,
-                       group_size=args.group_size,
-                       residual_length=args.residual,
-                       v_flush=args.v_flush,
-                       scale_dtype=args.scale_dtype)
+    qcfg = quant_config_from_args(args)
     eargs = EngineArgs(model_dir=args.model_dir, preset=args.preset,
                        max_seq_len=args.max_seq_len,
                        batch_size=args.batch_size, impl=args.impl,

@@ -52,6 +52,14 @@ class QuantConfig:
         for b in (self.k_bits, self.v_bits):
             if b not in (2, 4, 8, 16):
                 raise ValueError(f"bits must be one of 2,4,8,16, got {b}")
+        if (self.k_bits == 16) != (self.v_bits == 16):
+            # K and V are either both quantized or both fp: the cache is
+            # one structure (KiviLayerCache xor FpLayerCache), and mixed
+            # configs crash deep inside init_layer_cache.  Reference
+            # asserts the same (`models/llama_kivi.py:34-38`).
+            raise ValueError(
+                "mixed fp/quantized K/V unsupported: k_bits and v_bits "
+                "must both be 16 (fp cache) or both be < 16")
         if self.residual_length % self.group_size != 0:
             # Same invariant as reference `models/llama_kivi.py:132`.
             raise ValueError("residual_length must be a multiple of group_size")

@@ -43,11 +43,18 @@ def _lane_iota(n: int) -> jax.Array:
 
 def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
                      *, impl: str = "jnp",
-                     sliding_window: Optional[int] = None) -> jax.Array:
+                     sliding_window: Optional[int] = None,
+                     pad_len: Optional[jax.Array] = None) -> jax.Array:
     """Single-token decode attention.
 
     q: (B, Hq, 1, D) post-RoPE queries for the token just appended to the
     cache (so position == cache.seq_len - 1).  Returns (B, Hq, 1, D) f32.
+
+    pad_len: optional (B,) i32 — number of LEFT-padding slots at the
+    front of each row's cache (the reference threads a 2-D attention
+    mask through every forward, `models/llama_kivi.py:710-717`; here
+    left-padding reduces to a per-row lower position bound since pad
+    slots sit at positions [0, pad_len)).
     """
     B, Hq, M, D = q.shape
     assert M == 1, "decode_attention is single-token; use prefill_attention"
@@ -68,11 +75,12 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
     # 128-aligned value flushes; the per-head kernel needs only the
     # former; the split path serves everything else (jnp oracle, 8-bit,
     # sliding window).
-    from kivi_tpu.kernels.fused_decode_wide import default_head_fold
+    from kivi_tpu.kernels.fused_decode_wide import (default_head_fold,
+                                                    wide_kernel_supported)
     hg = default_head_fold(Hkv, r, D, Tmax // qcfg.group_size)
     if (impl == "pallas" and sliding_window is None and hg * r >= 8
-            and W % 128 == 0 and qcfg.value_flush % 128 == 0
-            and qcfg.k_bits in (2, 4) and qcfg.v_bits in (2, 4)):
+            and wide_kernel_supported(Tmax, W, qcfg.value_flush,
+                                      qcfg.k_bits, qcfg.v_bits)):
         from kivi_tpu.kernels.fused_decode_wide import (
             fused_decode_attention_wide)
         out = fused_decode_attention_wide(
@@ -80,7 +88,7 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
             cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
             cache.k_win, cache.v_win, cache.n_k_quant, cache.n_k_win,
             cache.n_v_quant, group_size=qcfg.group_size,
-            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits)
+            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, pad_len=pad_len)
         return out.reshape(B, Hq, 1, D)
     if (impl == "pallas" and sliding_window is None
             and W % 128 == 0
@@ -91,7 +99,7 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
             cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
             cache.k_win, cache.v_win, cache.n_k_quant, cache.n_k_win,
             cache.n_v_quant, group_size=qcfg.group_size,
-            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits)
+            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, pad_len=pad_len)
         return out.reshape(B, Hq, 1, D)
 
     qg = q.reshape(B, Hkv, r, D).astype(jnp.float32)
@@ -116,10 +124,16 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
                        cache.k_win.astype(jnp.float32))
     att_w = jnp.where(_lane_iota(W) < cache.n_k_win, att_w, NEG_INF)
 
-    if sliding_window is not None:
-        # Mistral-style: token position t attends to positions
-        # > t - sliding_window.  Current position = seq_len - 1.
-        lo = cache.seq_len - sliding_window
+    if sliding_window is not None or pad_len is not None:
+        # Lower position bound: Mistral sliding window (token t attends
+        # positions > t - sliding_window; current position = seq_len - 1)
+        # and/or per-row left-padding — both are "mask positions < lo".
+        lo = jnp.zeros((B,), jnp.int32)
+        if sliding_window is not None:
+            lo = jnp.maximum(lo, cache.seq_len - sliding_window)
+        if pad_len is not None:
+            lo = jnp.maximum(lo, jnp.asarray(pad_len, jnp.int32))
+        lo = lo.reshape(B, 1, 1, 1)
         att_q = jnp.where(pos_q >= lo, att_q, NEG_INF)
         att_w = jnp.where(_lane_iota(W) + cache.n_k_quant >= lo,
                           att_w, NEG_INF)
@@ -171,17 +185,22 @@ def _gather_v_window_probs(p_a, p_b, cache: KiviLayerCache, W: int):
 
 def prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       *, sliding_window: Optional[int] = None,
-                      impl: str = "jnp") -> jax.Array:
+                      impl: str = "jnp",
+                      pad_len: Optional[jax.Array] = None) -> jax.Array:
     """Exact causal attention for prefill (fp, no quantization), matching
     the reference's exact-prefill design (`models/llama_kivi.py:420-423`:
     flash attention, then quantize the prompt KV as a post-step).
 
     q: (B, Hq, T, D); k, v: (B, Hkv, T, D).  Returns (B, Hq, T, D) f32.
+    pad_len: optional (B,) i32 left-padding per row; key positions
+    < pad_len[b] are masked out (reference `llama_kivi.py:710-717`).
+    Rows at padded QUERY positions softmax over an empty set and emit 0.
     """
     if impl == "pallas":
         from kivi_tpu.kernels import flash_attention
         return flash_attention(q, k, v, causal=True,
-                               sliding_window=sliding_window)
+                               sliding_window=sliding_window,
+                               pad_len=pad_len)
     B, Hq, T, D = q.shape
     Hkv = k.shape[1]
     r = Hq // Hkv
@@ -193,7 +212,16 @@ def prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     mask = kpos <= qpos
     if sliding_window is not None:
         mask &= kpos > qpos - sliding_window
-    att = jnp.where(mask, att, NEG_INF)
-    p = jax.nn.softmax(att, axis=-1)
+    if pad_len is not None:
+        pad = jnp.asarray(pad_len, jnp.int32).reshape(B, 1, 1, 1, 1)
+        mask = mask & (kpos >= pad)
+        att = jnp.where(mask, att, NEG_INF)
+        # fully-masked query rows (padding): uniform softmax would read
+        # garbage V; zero them instead (flash kernel does the same)
+        p = jnp.where(jnp.any(mask, axis=-1, keepdims=True),
+                      jax.nn.softmax(att, axis=-1), 0.0)
+    else:
+        att = jnp.where(mask, att, NEG_INF)
+        p = jax.nn.softmax(att, axis=-1)
     out = jnp.einsum("bhrqk,bhkd->bhrqd", p, v.astype(jnp.float32))
     return out.reshape(B, Hq, T, D)

@@ -34,15 +34,13 @@ def cmd_predict(args):
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
-    from kivi_tpu.config import QuantConfig
+    from kivi_tpu.cli import quant_config_from_args
     from kivi_tpu.evalsuite.longbench import (REFERENCE_TASKS, load_jsonl,
                                               predict_task)
     from kivi_tpu.models.hf_loader import load_hf_checkpoint
     from kivi_tpu.serving.engine import Engine
 
-    qcfg = QuantConfig(k_bits=args.k_bits, v_bits=args.v_bits,
-                       group_size=args.group_size,
-                       residual_length=args.residual)
+    qcfg = quant_config_from_args(args)
     cfg, params = load_hf_checkpoint(args.model_dir)
     tok = AutoTokenizer.from_pretrained(args.model_dir)
     max_prompt = args.max_len - 512
@@ -50,16 +48,23 @@ def cmd_predict(args):
     engines = {}
 
     def generate_fn(prompt: str, max_new: int) -> str:
+        # PROMPT length is bucketed too (left-pad + mask): prefill
+        # compiles once per (prompt bucket, cache bucket) pair, <= 6
+        # compiles across a whole LongBench task, instead of one 20-40 s
+        # compile per distinct prompt length.
         ids = tok.encode(prompt)
-        cache_len = _bucket(len(ids) + max_new)
+        pbucket = _bucket(len(ids))
+        cache_len = _bucket(pbucket + max_new)
         if cache_len not in engines:
             engines[cache_len] = Engine(
                 cfg=cfg, qcfg=qcfg, params=params, max_seq_len=cache_len,
                 batch_size=1, impl=args.impl)
         eng = engines[cache_len]
-        out = eng.generate(jnp.asarray([ids], jnp.int32),
-                           min(max_new, cache_len - len(ids)),
-                           eos_token_id=tok.eos_token_id)
+        pad = pbucket - len(ids)
+        out = eng.generate(jnp.asarray([[0] * pad + ids], jnp.int32),
+                           min(max_new, cache_len - pbucket),
+                           eos_token_id=tok.eos_token_id,
+                           pad_lens=[pad])
         return tok.decode(list(out[0]), skip_special_tokens=True)
 
     tasks = (args.tasks.split(",") if args.tasks else REFERENCE_TASKS)
@@ -84,19 +89,25 @@ def cmd_score(args):
 
 
 def main(argv=None):
+    # In this deployment jax may be pre-imported with a tunneled-TPU
+    # platform before any env var can take effect; KIVI_TPU_PLATFORM
+    # (e.g. "cpu") flips the backend through jax.config, the only
+    # mechanism that still works post-import.
+    plat = os.environ.get("KIVI_TPU_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     ap = argparse.ArgumentParser(prog="run_longbench")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("predict")
+    from kivi_tpu.cli import add_quant_flags
     p.add_argument("--model-dir", required=True)
     p.add_argument("--model-name", default="")
     p.add_argument("--data-dir", required=True)
     p.add_argument("--out-dir", required=True)
     p.add_argument("--tasks", default="")
-    p.add_argument("--k-bits", type=int, default=2)
-    p.add_argument("--v-bits", type=int, default=2)
-    p.add_argument("--group-size", type=int, default=32)
-    p.add_argument("--residual", type=int, default=128)
+    add_quant_flags(p)          # one flag surface (kivi_tpu/cli.py)
     p.add_argument("--max-len", type=int, default=32768)
     p.add_argument("--impl", default="pallas")
     p.add_argument("--limit", type=int, default=0)

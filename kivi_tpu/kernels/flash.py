@@ -31,12 +31,14 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+def _flash_kernel(pad_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+                  acc_scr, *,
                   sm_scale: float, causal: bool, blk_q: int, blk_k: int,
-                  t_actual: int, sliding_window):
+                  t_actual: int, sliding_window, n_q_heads: int):
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
+    lo = pad_ref[pl.program_id(0) // n_q_heads]   # left-pad of this row
 
     @pl.when(ik == 0)
     def _init():
@@ -48,9 +50,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     k_start = ik * blk_k
 
     # Block-level pruning: skip fully-masked tiles.
-    live = jnp.bool_(True)
+    live = k_start + blk_k > lo
     if causal:
-        live = k_start <= q_start + blk_q - 1
+        live = jnp.logical_and(live, k_start <= q_start + blk_q - 1)
     if sliding_window is not None:
         # newest query in the block attends back at most `window` tokens
         live = jnp.logical_and(
@@ -69,7 +71,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
             jnp.int32, (blk_q, blk_k), 0)
         kpos = k_start + jax.lax.broadcasted_iota(
             jnp.int32, (blk_q, blk_k), 1)
-        mask = kpos < t_actual
+        mask = jnp.logical_and(kpos < t_actual, kpos >= lo)
         if causal:
             mask = jnp.logical_and(mask, kpos <= qpos)
         if sliding_window is not None:
@@ -80,7 +82,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)             # (blk_q, 1)
-        p = jnp.exp(s - m_new)                      # (blk_q, blk_k)
+        # NEG_INF is finite: on a fully-masked row m_new == NEG_INF and
+        # exp(s - m_new) == 1 uniformly, so p must be zeroed by mask
+        # (pad query rows then finish with l == 0 -> exact 0 output)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # (blk_q, blk_k)
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -100,12 +105,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     jax.jit,
     static_argnames=("causal", "sliding_window", "blk_q", "blk_k"))
 def flash_attention(q, k, v, *, causal: bool = True, sliding_window=None,
-                    blk_q: int = 256, blk_k: int = 256):
+                    blk_q: int = 256, blk_k: int = 256, pad_len=None):
     """q (B, Hq, T, D), k/v (B, Hkv, T, D) -> (B, Hq, T, D) f32.
 
     T is padded to the block size internally; D must be lane-aligned
     (128 for the Llama/Mistral families; smaller test dims fall back to
     whatever Mosaic supports via interpret mode on CPU).
+
+    pad_len: optional (B,) i32 left-padding per batch row — key
+    positions < pad_len[b] are masked and fully-left-of-pad KV tiles are
+    pruned at block level.
     """
     B, Hq, T, D = q.shape
     Hkv = k.shape[1]
@@ -123,31 +132,40 @@ def flash_attention(q, k, v, *, causal: bool = True, sliding_window=None,
     kf = k.astype(jnp.bfloat16).reshape(B * Hkv, Tp, D)
     vf = v.astype(jnp.bfloat16).reshape(B * Hkv, Tp, D)
 
-    def kv_index(bh, iq, ik):
+    def kv_index(bh, iq, ik, pad):
         return (bh // Hq) * Hkv + (bh % Hq) // r, ik, 0
+
+    pad = (jnp.zeros((B,), jnp.int32) if pad_len is None
+           else jnp.asarray(pad_len, jnp.int32).reshape(B))
 
     kernel = functools.partial(
         _flash_kernel, sm_scale=1.0 / (D ** 0.5), causal=causal,
-        blk_q=blk_q, blk_k=blk_k, t_actual=T, sliding_window=sliding_window)
-    out = pl.pallas_call(
-        kernel,
+        blk_q=blk_q, blk_k=blk_k, t_actual=T, sliding_window=sliding_window,
+        n_q_heads=Hq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(B * Hq, Tp // blk_q, Tp // blk_k),
         in_specs=[
-            pl.BlockSpec((1, blk_q, D), lambda bh, iq, ik: (bh, iq, 0),
+            pl.BlockSpec((1, blk_q, D), lambda bh, iq, ik, pad: (bh, iq, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk_k, D), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk_k, D), kv_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, blk_q, D), lambda bh, iq, ik: (bh, iq, 0),
-                               memory_space=pltpu.VMEM),
-        # bf16 out: accumulation is f32 in scratch; the (B,Hq,T,D) output
-        # at prefill scale is GBs, halving it matters for peak HBM
-        out_shape=jax.ShapeDtypeStruct((B * Hq, Tp, D), jnp.bfloat16),
+        out_specs=pl.BlockSpec(
+            (1, blk_q, D), lambda bh, iq, ik, pad: (bh, iq, 0),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((blk_q, 128), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),
             pltpu.VMEM((blk_q, D), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        # bf16 out: accumulation is f32 in scratch; the (B,Hq,T,D) output
+        # at prefill scale is GBs, halving it matters for peak HBM
+        out_shape=jax.ShapeDtypeStruct((B * Hq, Tp, D), jnp.bfloat16),
         interpret=_use_interpret(),
-    )(qf, kf, vf)
+    )(pad, qf, kf, vf)
     return out.reshape(B, Hq, Tp, D)[:, :, :T, :]

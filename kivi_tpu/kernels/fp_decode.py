@@ -33,6 +33,8 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     it = pl.program_id(1)
     nt = pl.num_programs(1)
     length = len_ref[pl.program_id(0)]
+    # second half of the prefetch vector: per-row left-pad lower bounds
+    lo = len_ref[pl.num_programs(0) + pl.program_id(0)]
 
     @pl.when(it == 0)
     def _init():
@@ -41,7 +43,7 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     t0 = it * blk_t
-    live = t0 < length
+    live = jnp.logical_and(t0 < length, t0 + blk_t > lo)
     if sliding_window is not None:
         live = jnp.logical_and(live, t0 + blk_t > length - sliding_window)
 
@@ -52,7 +54,7 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         v = v_ref[0]                                   # (blk_t, D) bf16
         s = jnp.dot(q, k, preferred_element_type=jnp.float32) * sm_scale
         pos = t0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        mask = pos < length
+        mask = jnp.logical_and(pos < length, pos >= lo)
         if sliding_window is not None:
             mask = jnp.logical_and(mask, pos >= length - sliding_window)
         s = jnp.where(mask, s, NEG_INF)
@@ -78,29 +80,38 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 @functools.partial(jax.jit,
                    static_argnames=("blk_t", "sliding_window"))
 def fp_decode_attention_kernel(q, k, v, length, *, blk_t: int = 1024,
-                               sliding_window=None):
+                               sliding_window=None, pad_len=None):
     """q (B,Hkv,r,D); k (B,H,D,T) transposed; v (B,H,T,D); length i32.
 
-    Returns (B, Hkv, r, D) f32.
+    Returns (B, Hkv, r, D) f32.  pad_len: optional (B,) i32 left-padding
+    per batch row; positions < pad_len[b] are masked and fully-padded
+    front blocks skip compute and DMA.
     """
     B, H, r, D = q.shape
     T = k.shape[-1]
     BH = B * H
     blk_t = min(blk_t, T)
     assert T % blk_t == 0
-    length = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (BH,))
+    lo = (jnp.zeros((B,), jnp.int32) if pad_len is None
+          else jnp.asarray(pad_len, jnp.int32).reshape(B))
+    length = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(length, jnp.int32), (BH,)),
+        jnp.repeat(lo, H),
+    ])
 
     kernel = functools.partial(
         _kernel, blk_t=blk_t, sm_scale=1.0 / (D ** 0.5),
         sliding_window=sliding_window)
-    # Dead blocks (beyond the valid length) clamp to the last live block:
-    # consecutive equal indices make Pallas skip the fetch, so a
-    # partially filled cache DMAs only its live fraction (mirrors the
-    # KIVI wide kernel's dead-chunk elision — the two bench engines pay
-    # symmetric costs).
+    # Dead blocks (beyond the valid length, or fully left of the pad)
+    # clamp to the nearest live block: consecutive equal indices make
+    # Pallas skip the fetch, so a partially filled cache DMAs only its
+    # live fraction (mirrors the KIVI wide kernel's dead-chunk elision —
+    # the two bench engines pay symmetric costs).
     def _tclamp(b, t, ln):
         last = jnp.maximum((ln[b] + blk_t - 1) // blk_t - 1, 0)
-        return jnp.minimum(t, last)
+        first = ln[BH + b] // blk_t
+        return jnp.clip(jnp.maximum(jnp.minimum(t, last), first),
+                        0, T // blk_t - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -52,6 +52,7 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     nkq = cnt_ref[0]
     nkw = cnt_ref[1]
     nvq = cnt_ref[2]
+    lo = cnt_ref[3 + pl.program_id(0)]   # row's left-pad lower bound
     t = nkq + nkw                     # total tokens (current pos = t-1)
     T = kw_ref.shape[-1]
     nt = T // C
@@ -121,7 +122,7 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     for c in range(nt):
         t0 = c * C
 
-        @pl.when(t0 < nkq)
+        @pl.when(jnp.logical_and(t0 < nkq, t0 + C > lo))
         def _chunk(t0=t0, c=c):
             # chunk-local (static) slices of scales/zps: (D, cg), (r, cg)
             kvals, kscale, _ = _unpack_deq(
@@ -134,7 +135,8 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
                          expand_c, **kw)
             s *= sm_scale
             pos = t0 + _row_iota(r, C)
-            s = jnp.where(pos < nkq, s, NEG_INF)
+            s = jnp.where(jnp.logical_and(pos < nkq, pos >= lo),
+                          s, NEG_INF)
 
             vvals, vscale, vmn = _unpack_deq(
                 vw_ref[0, :, pl.ds(t0, C)],
@@ -156,7 +158,7 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     s_w = jax.lax.dot_general(q, kwin, (((1,), (1,)), ((), ())), **kw)
     s_w *= sm_scale
     pos_w = nkq + _row_iota(r, W)
-    s_w = jnp.where(pos_w < t, s_w, NEG_INF)
+    s_w = jnp.where(jnp.logical_and(pos_w < t, pos_w >= lo), s_w, NEG_INF)
     # quantized V for window positions that still live in the V store
     # (pos in [nkq, nvq), possible when the V store is ahead of K's):
     # aligned dynamic lane slice at nkq (nkq % W == 0 by construction).
@@ -186,12 +188,15 @@ def fused_decode_attention(qg, k_codes, k_scale, k_mn, v_codes, v_scale,
                            v_mn, k_win, v_win, n_k_quant, n_k_win,
                            n_v_quant, *, group_size: int, k_bits: int,
                            v_bits: int, chunk: int = 512,
-                           compute_dtype=jnp.bfloat16):
+                           compute_dtype=jnp.bfloat16, pad_len=None):
     """Full KIVI decode attention for one new token.
 
     qg (B,H,r,D); packed stores as in KiviLayerCache; k_win/v_win
     (B,H,W,D).  Returns (B,H,r,D) f32, softmax over all `seq_len`
     positions.  sm_scale = D**-0.5 applied to logits.
+
+    pad_len: optional (B,) i32 left-padding per batch row; positions
+    < pad_len[b] are masked and fully-padded chunks skip their compute.
     """
     B, H, r, D = qg.shape
     T = k_codes.shape[-1]
@@ -201,9 +206,14 @@ def fused_decode_attention(qg, k_codes, k_scale, k_mn, v_codes, v_scale,
     assert T % C == 0 and C % gs == 0 and W <= C
     BH = B * H
     KDw, VDw = k_codes.shape[2], v_codes.shape[2]
-    cnt = jnp.stack([jnp.asarray(n_k_quant, jnp.int32),
-                     jnp.asarray(n_k_win, jnp.int32),
-                     jnp.asarray(n_v_quant, jnp.int32)])
+    lo = (jnp.zeros((B,), jnp.int32) if pad_len is None
+          else jnp.asarray(pad_len, jnp.int32).reshape(B))
+    cnt = jnp.concatenate([
+        jnp.stack([jnp.asarray(n_k_quant, jnp.int32),
+                   jnp.asarray(n_k_win, jnp.int32),
+                   jnp.asarray(n_v_quant, jnp.int32)]),
+        jnp.repeat(lo, H),          # per-program (b*H + h) lower bound
+    ])
 
     kernel = functools.partial(
         _kernel, k_bits=k_bits, v_bits=v_bits, gs=gs, C=C, W=W,

@@ -67,6 +67,7 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     nkq = cnt_ref[0]
     nkw = cnt_ref[1]
     nvq = cnt_ref[2]
+    lo = cnt_ref[3 + pl.program_id(0)]   # row's left-pad lower bound
     t_total = nkq + nkw
     it = pl.program_id(1)
     nt = T // C
@@ -210,7 +211,8 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     # materializing the full (HD, C) dequantized tiles blows the 16 MB
     # VMEM budget at T=4096; the per-block form keeps every temporary at
     # (Hkv*2Dw, C) while issuing the same total MXU work.
-    @pl.when(jnp.logical_and(it < nt, it * C < nkq))
+    @pl.when(jnp.logical_and(jnp.logical_and(it < nt, it * C < nkq),
+                             (it + 1) * C > lo))
     def _chunk():
         t0 = it * C
         mask2 = jnp.uint32({2: 0x0003_0003, 4: 0x000F_000F}[k_bits])
@@ -243,19 +245,35 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         vsc = jnp.concatenate(vs_parts, axis=0)              # (HD, C)
         s += jnp.dot(qbd_scr[:].astype(cdt), vsc, **kw)
         pos_row = t0 + _iota((HR, C), 1)
-        s = jnp.where(pos_row < nkq, s, NEG_INF)
+        s = jnp.where(jnp.logical_and(pos_row < nkq, pos_row >= lo),
+                      s, NEG_INF)
 
         p = online(s)
         acc_scr[:] = acc_scr[:] + quant_v_contrib(
             p, vw_ref[0], vs_ref[0], vm_ref[0], t0)
 
-        # strip capture: probabilities of positions [nvq, nvq+W) live in
-        # this chunk when it contains nvq (128-aligned lane slice)
-        @pl.when(jnp.logical_and(t0 <= nvq, nvq < t0 + C))
-        def _capture():
-            off = pl.multiple_of(nvq - t0, 128)
+        # strip capture: probabilities of positions [nvq, nvq+W).  The
+        # strip start is 128-aligned (v_flush % 128 == 0) but the strip
+        # may SPAN a chunk boundary (v_flush < W lets nvq mod C reach
+        # C - v_flush), so it is captured in 128-lane segments, each
+        # from the chunk that holds it.  Every dynamic offset stays in
+        # [0, C-128].  Segments at positions >= nkq capture exact zeros
+        # (their logits were -inf); the fp window adds those
+        # probabilities in _window.  Segments captured in an earlier
+        # chunk ride the online-softmax rescale (pwin_scr *= alpha),
+        # keeping all strip entries on the running max.
+        @pl.when(jnp.logical_and(t0 < nvq + W, nvq < t0 + C))
+        def _stage():
             p_scr[:] = p
-            pwin_scr[:, W:2 * W] = p_scr[:, pl.ds(off, W)]
+
+        for s_i in range(W // 128):
+            seg = nvq + 128 * s_i
+
+            @pl.when(jnp.logical_and(t0 <= seg, seg < t0 + C))
+            def _capture(s_i=s_i, seg=seg):
+                off = pl.multiple_of(seg - t0, 128)
+                pwin_scr[:, W + 128 * s_i:W + 128 * (s_i + 1)] = (
+                    p_scr[:, pl.ds(off, 128)])
 
     # ---- final step: fp key window + value-window/strip resolution -------
     @pl.when(it == nt)
@@ -266,6 +284,7 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         col_h = _iota((HR, Hkv * W), 1) // W
         pos_w = nkq + _iota((HR, Hkv * W), 1) % W
         valid = jnp.logical_and(col_h == head_of_row, pos_w < t_total)
+        valid = jnp.logical_and(valid, pos_w >= lo)
         s_w = jnp.where(valid, s_w, NEG_INF)
         p = online(s_w)                                      # (HR, Hkv*W)
         # fold window probs to own-head columns (off-head are exp(-inf)=0)
@@ -301,6 +320,19 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         o_ref[0] = acc_scr[:] / jnp.where(l > 0, l, 1.0)
 
 
+def wide_kernel_supported(Tmax: int, W: int, v_flush: int, k_bits: int,
+                          v_bits: int, chunk: int = 512) -> bool:
+    """Static legality of fused_decode_attention_wide for a cache
+    geometry: 2/4-bit stores, 128-aligned window and value flush (the
+    strip capture slices in 128-lane segments), and the chunk evenly
+    split by both T and W (window-phase pinned-block slices must stay
+    inside one chunk)."""
+    C = min(chunk, Tmax)
+    return (k_bits in (2, 4) and v_bits in (2, 4)
+            and W % 128 == 0 and v_flush % 128 == 0
+            and Tmax % C == 0 and C % W == 0 and W <= C)
+
+
 def default_head_fold(Hkv: int, r: int, D: int, Tg: int) -> int:
     """Largest Hg dividing Hkv with Hg*r <= 32 rows and the full-width
     K scale/zp planes bounded (~1 MiB bf16) — the VMEM governor that
@@ -321,18 +353,24 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
                                 n_k_win, n_v_quant, *, group_size: int,
                                 k_bits: int, v_bits: int, chunk: int = 512,
                                 compute_dtype=jnp.bfloat16,
-                                head_fold: int | None = None):
+                                head_fold: int | None = None,
+                                pad_len=None):
     """qg (B,Hkv,r,D) + KiviLayerCache arrays -> (B,Hkv,r,D) f32.
 
     head_fold (Hg): KV heads folded into one program (must divide Hkv).
     Each program owns Hg*r query rows; grid is (B * Hkv/Hg, T/C + 1).
+    pad_len: optional (B,) i32 left-padding per batch row — positions
+    < pad_len[b] are masked, fully-padded chunks skip compute AND DMA
+    (their block index clamps forward to the first live block).
     """
     B, Hkv, r, D = qg.shape
     T = k_codes.shape[-1]
     W = k_win.shape[2]
     gs = group_size
     C = min(chunk, T)
-    assert T % C == 0 and C % gs == 0 and W % 128 == 0 and W <= C
+    # C % W == 0 keeps the _window pinned-block slice [nkq mod C, +W)
+    # inside one chunk (nkq is always a multiple of W).
+    assert T % C == 0 and C % gs == 0 and W % 128 == 0 and C % W == 0
     KDw, VDw = k_codes.shape[2], v_codes.shape[2]
     Dg, Tg = D // gs, T // gs
     nt = T // C
@@ -341,21 +379,28 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
     assert Hkv % Hg == 0
     ng = Hkv // Hg
     HR = Hg * r
-    cnt = jnp.stack([jnp.asarray(n_k_quant, jnp.int32),
-                     jnp.asarray(n_k_win, jnp.int32),
-                     jnp.asarray(n_v_quant, jnp.int32)])
+    lo = (jnp.zeros((B,), jnp.int32) if pad_len is None
+          else jnp.asarray(pad_len, jnp.int32).reshape(B))
+    cnt = jnp.concatenate([
+        jnp.stack([jnp.asarray(n_k_quant, jnp.int32),
+                   jnp.asarray(n_k_win, jnp.int32),
+                   jnp.asarray(n_v_quant, jnp.int32)]),
+        jnp.repeat(lo, ng),         # per-program (b*ng + g) lower bound
+    ])
 
     kernel = functools.partial(
         _kernel, k_bits=k_bits, v_bits=v_bits, gs=gs, C=C, W=W, r=r, T=T,
         sm_scale=1.0 / (D ** 0.5), cdt=compute_dtype)
     full = lambda i, t, *_: (i, 0, 0)
     full4 = lambda i, t, *_: (i // ng, i % ng, 0, 0)
-    # Dead chunks clamp to the last live block: consecutive equal block
-    # indices make Pallas skip the fetch, so a partially filled cache
-    # DMAs only its live fraction.
+    # Dead chunks clamp to the last live block (tail) / first live block
+    # (left-padded front): consecutive equal block indices make Pallas
+    # skip the fetch, so a partially filled or left-padded cache DMAs
+    # only its live fraction.
     chunk4 = lambda i, t, cnt: (
         i // ng, i % ng, 0,
-        jnp.clip(jnp.minimum(t, (cnt[0] + C - 1) // C - 1), 0, nt - 1))
+        jnp.clip(jnp.maximum(jnp.minimum(t, (cnt[0] + C - 1) // C - 1),
+                             cnt[3 + i] // C), 0, nt - 1))
     # the window phase needs the v-store block containing [nkq, nkq+W):
     # pinned via scalar prefetch (clamped for the full-cache edge where
     # nkq == T would index one block past the store)

@@ -87,7 +87,7 @@ def swiglu_mlp(x: jax.Array, wg, wu, wd) -> jax.Array:
 
 def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                      qcfg: QuantConfig, positions, *, mode: str,
-                     impl: str, flush: bool = True
+                     impl: str, flush: bool = True, pad_len=None
                      ) -> Tuple[jax.Array, LayerCache]:
     """mode: 'prefill' (T tokens, cache must be empty) or 'decode' (T==1)."""
     B, T, _ = x.shape
@@ -104,8 +104,17 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
     k = apply_rope(k, cos, sin)
 
     if mode == "prefill":
+        if pad_len is not None:
+            # Pad slots occupy real cache positions but must never leak:
+            # attention masks them (positions < pad_len[b]) and the
+            # stored K/V are zeroed so K quantization groups straddling
+            # the pad boundary see 0s rather than garbage activations.
+            live = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, T, 1), 2)
+                    >= jnp.asarray(pad_len, jnp.int32).reshape(B, 1, 1, 1))
+            k = jnp.where(live, k, 0)
+            v = jnp.where(live, v, 0)
         out = prefill_attention(q, k, v, sliding_window=cfg.sliding_window,
-                                impl=impl)
+                                impl=impl, pad_len=pad_len)
         if isinstance(cache, FpLayerCache):
             cache = fp_append(cache, k, v)
         else:
@@ -115,22 +124,23 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
             cache = fp_append(cache, k, v)
             out = fp_decode_attention(q, cache,
                                       sliding_window=cfg.sliding_window,
-                                      impl=impl)
+                                      impl=impl, pad_len=pad_len)
         else:
             cache = KC.decode_append(cache, k, v, qcfg, impl,
                                      do_flush=flush)
             out = decode_attention(q, cache, qcfg, impl=impl,
-                                   sliding_window=cfg.sliding_window)
+                                   sliding_window=cfg.sliding_window,
+                                   pad_len=pad_len)
 
     out = out.transpose(0, 2, 1, 3).reshape(B, T, Hq * D).astype(x.dtype)
     return out @ lp["wo"], cache
 
 
 def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl,
-                   flush=True):
+                   flush=True, pad_len=None):
     h, cache = _attention_block(
         rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps), lp, cache, cfg, qcfg,
-        positions, mode=mode, impl=impl, flush=flush)
+        positions, mode=mode, impl=impl, flush=flush, pad_len=pad_len)
     x = x + h
     x = x + swiglu_mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps),
                        lp["wg"], lp["wu"], lp["wd"])
@@ -145,8 +155,15 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             qcfg: QuantConfig, positions: jax.Array, *, mode: str,
             impl: str = "jnp",
             last_only: bool = False,
-            flush: bool = True) -> Tuple[jax.Array, Any]:
-    """tokens (B, T) i32; positions (B, T) i32 global positions.
+            flush: bool = True,
+            pad_len: Optional[jax.Array] = None) -> Tuple[jax.Array, Any]:
+    """tokens (B, T) i32; positions (B, T) i32 ROPE positions (for
+    left-padded rows: cache index minus pad_len, clamped at 0).
+
+    pad_len: optional (B,) i32 left-padding per batch row — the TPU
+    analogue of the reference's attention_mask plumbing
+    (`models/llama_kivi.py:710-717`): pad slots occupy cache positions
+    [0, pad_len[b]) and are masked out of every attention.
 
     Returns (logits (B, T, vocab) f32, new caches).  With last_only,
     logits are (B, 1, vocab) for the final position — generation never
@@ -171,7 +188,7 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
         lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
         x, caches[i] = _decoder_layer(x, lp, caches[i], cfg, qcfg,
                                       positions, mode=mode, impl=impl,
-                                      flush=flush)
+                                      flush=flush, pad_len=pad_len)
     if last_only:
         x = x[:, -1:, :]
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)

@@ -27,6 +27,16 @@ _DTYPES = {
 
 def _load_lib() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB_PATH):
+        # The .so is intentionally NOT committed (a prebuilt binary
+        # can't be reviewed and can drift from the source): build it
+        # from native/safetensors_reader.cpp on first use.
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH)],
+                           capture_output=True, timeout=120, check=True)
+        except Exception:
+            return None
+    if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
     lib.str_open.restype = ctypes.c_void_p
@@ -66,10 +76,18 @@ class NativeShard:
 
     def keys(self) -> List[str]:
         n = _LIB.str_num_tensors(self._h)
-        buf = ctypes.create_string_buffer(512)
+        cap = 512
+        buf = ctypes.create_string_buffer(cap)
         out = []
         for i in range(n):
-            if _LIB.str_tensor_name(self._h, i, buf, 512) >= 0:
+            rc = _LIB.str_tensor_name(self._h, i, buf, cap)
+            while rc < 0 and cap < 1 << 20:
+                # name longer than the buffer: grow and retry (never
+                # silently drop a tensor from the listing)
+                cap *= 2
+                buf = ctypes.create_string_buffer(cap)
+                rc = _LIB.str_tensor_name(self._h, i, buf, cap)
+            if rc >= 0:
                 out.append(buf.value.decode())
         return out
 

@@ -59,6 +59,8 @@ def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
             return b
+    # buckets always end at max_seq_len (see __init__), so a request that
+    # passed the admission length check always finds a bucket
     raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
 
 
@@ -71,8 +73,11 @@ class ContinuousBatcher:
         self.cfg, self.qcfg, self.params = cfg, qcfg, params
         self.S, self.T = num_slots, max_seq_len
         self.impl = impl
-        self.prompt_buckets = tuple(
-            b for b in prompt_buckets if b <= max_seq_len)
+        # the bucket list always tops out at max_seq_len: any prompt that
+        # fits the cache finds a bucket (a prompt longer than every
+        # configured bucket used to crash _admit mid-run)
+        buckets = tuple(b for b in prompt_buckets if b < max_seq_len)
+        self.prompt_buckets = buckets + (max_seq_len,)
 
         # slot-axis caches: one single-sequence cache vmapped over slots
         one = lambda: modeling.init_caches(cfg, qcfg, 1, max_seq_len)
@@ -87,9 +92,11 @@ class ContinuousBatcher:
         self.queue: deque[Request] = deque()
         self.results: Dict[int, Result] = {}
 
-        # device-side per-slot state
+        # device-side per-slot state (pos = TRUE rope position, i.e. the
+        # slot's cache position minus its left-pad)
         self.cur_tok = jnp.zeros((num_slots, 1), jnp.int32)
         self.pos = jnp.zeros((num_slots, 1), jnp.int32)
+        self.pad_dev = jnp.zeros((num_slots,), jnp.int32)
         self.act_dev = jnp.zeros((num_slots,), jnp.bool_)
 
         self._prefills: Dict[int, Callable] = {}
@@ -102,27 +109,30 @@ class ContinuousBatcher:
     def _make_prefill(self, bucket: int):
         cfg, qcfg, impl = self.cfg, self.qcfg, self.impl
 
-        def fn(params, tokens, cache):
-            # tokens (1, bucket): one jit per prompt-length bucket.
+        def fn(params, tokens, cache, pad):
+            # tokens (1, bucket) LEFT-padded by pad (1,) slots: one jit
+            # per prompt-length bucket, output token-equal to an
+            # unpadded prefill of the bare prompt.
             B, T = tokens.shape
-            positions = jnp.broadcast_to(
-                jnp.arange(T, dtype=jnp.int32), (B, T))
+            positions = jnp.maximum(
+                jnp.arange(T, dtype=jnp.int32)[None, :] - pad[:, None], 0)
             logits, cache = modeling.forward(
                 params, tokens, cache, cfg, qcfg, positions,
-                mode="prefill", impl=impl, last_only=True)
+                mode="prefill", impl=impl, last_only=True, pad_len=pad)
             nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
             return nxt, cache
 
         return jax.jit(fn)
 
     @staticmethod
-    def _decode_all(params, tok, pos, caches, active, *, cfg, qcfg, impl):
-        """One decode step for all slots. tok/pos (S,1); active (S,)."""
+    def _decode_all(params, tok, pos, caches, active, pads, *, cfg, qcfg,
+                    impl):
+        """One decode step for all slots. tok/pos (S,1); active/pads (S,)."""
 
-        def one(tok1, pos1, cache1, act1):
+        def one(tok1, pos1, cache1, act1, pad1):
             logits, new_cache = modeling.forward(
                 params, tok1[None], cache1, cfg, qcfg, pos1[None],
-                mode="decode", impl=impl)
+                mode="decode", impl=impl, pad_len=pad1[None])
             # inactive slots keep their old cache (masked select)
             cache = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(
@@ -131,8 +141,8 @@ class ContinuousBatcher:
             nxt = jnp.argmax(logits[0, -1], -1).astype(jnp.int32)
             return nxt, cache
 
-        nxt, caches = jax.vmap(one, in_axes=(0, 0, 0, 0))(
-            tok, pos, caches, active)  # tok1 (1,) -> [None] = (1, 1)
+        nxt, caches = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
+            tok, pos, caches, active, pads)  # tok1 (1,) -> [None] = (1, 1)
         return nxt, caches
 
     # -- host-side loop -----------------------------------------------------
@@ -143,34 +153,41 @@ class ContinuousBatcher:
     def _admit(self):
         while self.queue and not self.active.all():
             req = self.queue[0]
-            if len(req.prompt) + req.max_new_tokens > self.T:
+            # cache usage is bucket + max_new (pad slots occupy cache
+            # positions), so admission must check the BUCKETED length
+            bucket = (None if len(req.prompt) > self.T
+                      else _bucket(len(req.prompt), self.prompt_buckets))
+            if bucket is None or bucket + req.max_new_tokens > self.T:
                 self.queue.popleft()
                 self.results[req.uid] = Result(req.uid, [])  # rejected
                 continue
             slot = int(np.argmin(self.active))
             req = self.queue.popleft()
-            bucket = _bucket(len(req.prompt), self.prompt_buckets)
             if bucket not in self._prefills:
                 self._prefills[bucket] = self._make_prefill(bucket)
-            # Prompts are right-padded to the bucket by repeating the
-            # final token; generation then conditions on the padded
-            # prompt (the repeated tail is part of the sequence).  For
-            # exactness-sensitive evals pick buckets matching the true
-            # lengths — the engine API (serving.engine) runs exact
-            # shapes; the batcher trades tail-padding for few compiles.
+            # Prompts are LEFT-padded to the bucket and the pad count is
+            # carried as an attention lower bound through every forward
+            # (modeling.forward pad_len), so a batched request's output
+            # is token-equal to the same prompt through the engine API —
+            # the reference's attention_mask plumbing
+            # (`models/llama_kivi.py:710-717`), reduced to a per-row
+            # bound because pad sits at positions [0, pad).
             prompt = list(req.prompt)
             pad = bucket - len(prompt)
-            padded = prompt + [prompt[-1]] * pad
+            padded = [0] * pad + prompt
             cache1 = jax.tree_util.tree_map(
                 lambda a: jnp.zeros(a.shape[1:], a.dtype), self.caches)
             nxt, cache1 = self._prefills[bucket](
-                self.params, jnp.asarray([padded], jnp.int32), cache1)
+                self.params, jnp.asarray([padded], jnp.int32), cache1,
+                jnp.asarray([pad], jnp.int32))
             # write slot state
             self.caches = jax.tree_util.tree_map(
                 lambda big, one: jax.lax.dynamic_update_index_in_dim(
                     big, one, slot, 0), self.caches, cache1)
             self.cur_tok = self.cur_tok.at[slot, 0].set(nxt[0])
-            self.pos = self.pos.at[slot, 0].set(bucket)
+            # rope position of the first generated token = true length
+            self.pos = self.pos.at[slot, 0].set(len(prompt))
+            self.pad_dev = self.pad_dev.at[slot].set(pad)
             self.act_dev = self.act_dev.at[slot].set(True)
             self.active[slot] = True
             self.slot_req[slot] = req
@@ -199,7 +216,8 @@ class ContinuousBatcher:
         if not self.active.any():
             return
         nxt, self.caches = self._decode(
-            self.params, self.cur_tok, self.pos, self.caches, self.act_dev)
+            self.params, self.cur_tok, self.pos, self.caches, self.act_dev,
+            self.pad_dev)
         nxt_host = np.asarray(nxt)
         self.cur_tok = nxt[:, None]
         self.pos = self.pos + self.act_dev.astype(jnp.int32)[:, None]

@@ -50,7 +50,8 @@ class Engine:
         self._decode_scan_jit = jax.jit(
             functools.partial(self._decode_scan_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
-            static_argnames=("steps", "temperature", "prompt_len"),
+            static_argnames=("steps", "temperature", "prompt_len",
+                             "top_k", "top_p", "repetition_penalty"),
             donate_argnums=(3,))
         self._beam_scan = jax.jit(
             functools.partial(self._beam_scan_fn, cfg=self.cfg,
@@ -59,9 +60,11 @@ class Engine:
                              "prompt_len"),
             donate_argnums=(3,))
 
-    def _decode_scan(self, params, first_token, first_pos, caches, rng, *,
-                     steps: int, temperature: float = 0.0,
-                     prompt_len: int = 0):
+    def _decode_scan(self, params, first_token, first_pos, caches, rng,
+                     pad=None, *, steps: int, temperature: float = 0.0,
+                     prompt_len: int = 0, top_k: int = 0,
+                     top_p: float = 1.0, repetition_penalty: float = 1.0,
+                     seen=None):
         """_decode_scan_fn with the static prompt_len canonicalized: the
         flush schedule depends only on prompt_len mod lcm(W, v_flush)
         (plus the prompt_len <= W edge), so resuming decode at a later
@@ -76,26 +79,40 @@ class Engine:
             if prompt_len > W + L:
                 prompt_len = W + 1 + (prompt_len - W - 1) % L
         return self._decode_scan_jit(params, first_token, first_pos,
-                                     caches, rng, steps=steps,
+                                     caches, rng, pad, seen, steps=steps,
                                      temperature=temperature,
-                                     prompt_len=prompt_len)
+                                     prompt_len=prompt_len, top_k=top_k,
+                                     top_p=top_p,
+                                     repetition_penalty=repetition_penalty)
 
     # -- jitted bodies ----------------------------------------------------
 
     @staticmethod
-    def _prefill_fn(params, tokens, caches, *, cfg, qcfg, impl):
+    def _prefill_fn(params, tokens, caches, pad=None, *, cfg, qcfg, impl):
+        """tokens (B, T) LEFT-padded by pad (B,) slots per row (None =
+        unpadded, zero masking overhead); RoPE positions are true token
+        indices (i - pad, clamped at 0), the HF position_ids convention
+        for left-padded generation."""
         B, T = tokens.shape
-        positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+        if pad is None:
+            positions = jnp.broadcast_to(
+                jnp.arange(T, dtype=jnp.int32), (B, T))
+        else:
+            positions = jnp.maximum(
+                jnp.arange(T, dtype=jnp.int32)[None, :] - pad[:, None], 0)
         logits, caches = modeling.forward(
             params, tokens, caches, cfg, qcfg, positions,
-            mode="prefill", impl=impl, last_only=True)
+            mode="prefill", impl=impl, last_only=True, pad_len=pad)
         return logits[:, -1, :], caches
 
     @staticmethod
-    def _decode_fn(params, token, pos, caches, *, cfg, qcfg, impl):
-        """token (B, 1) i32; pos (B, 1) i32 global position of `token`."""
+    def _decode_fn(params, token, pos, caches, pad=None, *, cfg, qcfg,
+                   impl):
+        """token (B, 1) i32; pos (B, 1) i32 ROPE position of `token`
+        (true index: cache position minus pad)."""
         logits, caches = modeling.forward(
-            params, token, caches, cfg, qcfg, pos, mode="decode", impl=impl)
+            params, token, caches, cfg, qcfg, pos, mode="decode",
+            impl=impl, pad_len=pad)
         return logits[:, -1, :], caches
 
     @staticmethod
@@ -119,9 +136,11 @@ class Engine:
         return events
 
     @staticmethod
-    def _decode_scan_fn(params, first_token, first_pos, caches, rng, *,
-                        cfg, qcfg, impl, steps: int,
-                        temperature: float = 0.0, prompt_len: int = 0):
+    def _decode_scan_fn(params, first_token, first_pos, caches, rng,
+                        pad=None, seen=None, *, cfg, qcfg, impl, steps: int,
+                        temperature: float = 0.0, prompt_len: int = 0,
+                        top_k: int = 0, top_p: float = 1.0,
+                        repetition_penalty: float = 1.0):
         """Generate `steps` tokens fully on-device.
 
         With a known prompt_len and a KIVI cache, window flushes run
@@ -129,24 +148,38 @@ class Engine:
         step body carries no flush conds at all (the per-step lax.cond
         machinery on full-cache operands cost ~19 ms/step at bench
         scale).  Returns (tokens (B, steps) i32, caches).
+
+        seen: (B, V) bool token-id mask of the prompt (None disables the
+        repetition penalty) — HF penalizes the FULL sequence so far.
         """
+        from kivi_tpu.serving import sampling
+
         static_flush = prompt_len > 0 and qcfg.quantize_kv
+        use_pen = repetition_penalty != 1.0 and seen is not None
+        if not use_pen:
+            seen = None
 
         def body(carry, _):
-            token, pos, caches, rng = carry
+            token, pos, caches, rng, seen = carry
             logits, caches = modeling.forward(
                 params, token, caches, cfg, qcfg, pos,
-                mode="decode", impl=impl, flush=not static_flush)
+                mode="decode", impl=impl, flush=not static_flush,
+                pad_len=pad)
             logits = logits[:, -1, :]
+            if use_pen:
+                seen = sampling.update_seen(seen, token[:, 0])
+                logits = sampling.apply_repetition_penalty(
+                    logits, seen, repetition_penalty)
             if temperature > 0:
                 rng, sub = jax.random.split(rng)
-                nxt = jax.random.categorical(sub, logits / temperature)
             else:
-                nxt = jnp.argmax(logits, axis=-1)
-            nxt = nxt.astype(jnp.int32)[:, None]
-            return (nxt, pos + 1, caches, rng), nxt[:, 0]
+                sub = rng   # unused by greedy sample_step
+            nxt = sampling.sample_step(logits, sub, temperature=temperature,
+                                       top_k=top_k, top_p=top_p)
+            nxt = nxt[:, None]
+            return (nxt, pos + 1, caches, rng, seen), nxt[:, 0]
 
-        carry = (first_token, first_pos, caches, rng)
+        carry = (first_token, first_pos, caches, rng, seen)
         if not static_flush:
             carry, toks = jax.lax.scan(body, carry, None, length=steps)
             return jnp.swapaxes(toks, 0, 1), carry[2]
@@ -163,15 +196,15 @@ class Engine:
                 done = b
             if b in events:
                 fk, fv = events[b]
-                token, pos, caches, rng = carry
+                token, pos, caches, rng, seen = carry
                 caches = modeling.flush_caches(caches, qcfg, impl,
                                                k=fk, v=fv)
-                carry = (token, pos, caches, rng)
+                carry = (token, pos, caches, rng, seen)
         return jnp.concatenate(tok_segs, axis=1), carry[2]
 
     @staticmethod
-    def _beam_scan_fn(params, first_logits, first_pos, caches, *, cfg,
-                      qcfg, impl, steps: int, num_beams: int,
+    def _beam_scan_fn(params, first_logits, first_pos, caches, pad=None,
+                      *, cfg, qcfg, impl, steps: int, num_beams: int,
                       eos_token_id: int, prompt_len: int = 0):
         """Beam-search decode: `steps` tokens fully on-device.
 
@@ -214,9 +247,12 @@ class Engine:
 
         def body(carry, _):
             token, pos, caches, state = carry
+            # pad needs no reorder: beams of one request share its pad
+            # and parent selection never crosses requests
             logits, caches = modeling.forward(
                 params, token, caches, cfg, qcfg, pos,
-                mode="decode", impl=impl, flush=not static_flush)
+                mode="decode", impl=impl, flush=not static_flush,
+                pad_len=pad)
             state, nxt, flat_parent = advance(logits[:, -1, :], state)
             caches = [KC.reorder(c, flat_parent) for c in caches]
             return (nxt.reshape(B * nb, 1), pos + 1, caches, state), None
@@ -275,39 +311,75 @@ class Engine:
         return modeling.init_caches(self.cfg, self.qcfg, self.batch_size,
                                     self.max_seq_len, self.cache_dtype)
 
-    def prefill(self, tokens: jax.Array, caches=None):
-        """tokens (B, T).  Returns (next_token (B,1), caches)."""
+    def prefill(self, tokens: jax.Array, caches=None, pad_lens=None):
+        """tokens (B, T), LEFT-padded by pad_lens (B,) slots per row
+        (None = no padding).  Returns (next_token (B,1), caches)."""
         if caches is None:
             caches = self.init_caches()
-        logits, caches = self._prefill(self.params, tokens, caches)
+        B = tokens.shape[0]
+        pad = (None if pad_lens is None
+               else jnp.asarray(pad_lens, jnp.int32).reshape(B))
+        logits, caches = self._prefill(self.params, tokens, caches, pad)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], caches
 
-    def decode_step(self, token, pos, caches):
-        logits, caches = self._decode(self.params, token, pos, caches)
+    def decode_step(self, token, pos, caches, pad_lens=None):
+        B = token.shape[0]
+        pad = (None if pad_lens is None
+               else jnp.asarray(pad_lens, jnp.int32).reshape(B))
+        logits, caches = self._decode(self.params, token, pos, caches, pad)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None], caches
 
     def generate(self, tokens: jax.Array, max_new_tokens: int,
                  eos_token_id: Optional[int] = None,
                  temperature: float = 0.0,
-                 rng: Optional[jax.Array] = None) -> jax.Array:
+                 rng: Optional[jax.Array] = None,
+                 pad_lens=None,
+                 top_k: int = 0, top_p: float = 1.0,
+                 repetition_penalty: float = 1.0) -> jax.Array:
         """Greedy/sampled generation.  tokens (B, T) -> (B, max_new_tokens).
 
         The whole decode loop runs device-side; EOS handling pads after
         the fact (same numerics as HF greedy with early exit).
+
+        tokens may be LEFT-padded (pad_lens (B,) gives each row's pad
+        count); a batch smaller than the engine's batch_size is topped
+        up with copies of the last row and the extras are dropped.
+        Sampling controls follow HF semantics (see serving/sampling.py).
         """
         B, T = tokens.shape
+        n_real = B
+        if B < self.batch_size:
+            fill = jnp.repeat(tokens[-1:], self.batch_size - B, axis=0)
+            tokens = jnp.concatenate([tokens, fill], axis=0)
+            if pad_lens is not None:
+                pad_lens = jnp.concatenate([
+                    jnp.asarray(pad_lens, jnp.int32).reshape(B),
+                    jnp.repeat(jnp.asarray(pad_lens, jnp.int32)[-1:],
+                               self.batch_size - B)])
+            B = self.batch_size
         assert B == self.batch_size
         assert T + max_new_tokens <= self.max_seq_len, "cache too small"
-        first, caches = self.prefill(tokens)
+        pad = (None if pad_lens is None
+               else jnp.asarray(pad_lens, jnp.int32).reshape(B))
+        first, caches = self.prefill(tokens, pad_lens=pad)
         if max_new_tokens == 1:
-            return first
+            return first[:n_real]
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # RoPE position of the first generated token = true length
         pos = jnp.full((B, 1), T, jnp.int32)
+        if pad is not None:
+            pos = pos - pad[:, None]
+        seen = None
+        if repetition_penalty != 1.0:
+            from kivi_tpu.serving import sampling
+            seen = sampling.seen_mask_from_prompt(
+                tokens, self.cfg.vocab_size, pad_len=pad)
         rest, caches = self._decode_scan(
-            self.params, first, pos, caches, rng,
+            self.params, first, pos, caches, rng, pad,
             steps=max_new_tokens - 1, temperature=temperature,
-            prompt_len=T)
-        out = jnp.concatenate([first, rest], axis=1)
+            prompt_len=T, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty, seen=seen)
+        out = jnp.concatenate([first, rest], axis=1)[:n_real]
         if eos_token_id is not None:
             seen = jnp.cumsum((out == eos_token_id).astype(jnp.int32), axis=1)
             keep = (seen - (out == eos_token_id)) == 0  # tokens before eos
@@ -316,7 +388,8 @@ class Engine:
 
     def generate_beam(self, tokens: jax.Array, max_new_tokens: int,
                       num_beams: int, eos_token_id: int = -1,
-                      length_penalty: float = 1.0) -> jax.Array:
+                      length_penalty: float = 1.0,
+                      pad_lens=None) -> jax.Array:
         """Beam-search generation: tokens (B, T) -> (B, max_new_tokens).
 
         The engine must be built with batch_size == B * num_beams (the
@@ -331,11 +404,15 @@ class Engine:
             f"engine batch_size {self.batch_size} != B*num_beams {B * nb}")
         assert T + max_new_tokens <= self.max_seq_len, "cache too small"
         tiled = jnp.repeat(tokens, nb, axis=0)               # (B*nb, T)
+        pad = (None if pad_lens is None else jnp.repeat(
+            jnp.asarray(pad_lens, jnp.int32).reshape(B), nb))
         caches = self.init_caches()
-        first_logits, caches = self._prefill(self.params, tiled, caches)
+        first_logits, caches = self._prefill(self.params, tiled, caches, pad)
         pos = jnp.full((B * nb, 1), T, jnp.int32)
+        if pad is not None:
+            pos = pos - pad[:, None]
         out, scores, lengths, caches = self._beam_scan(
-            self.params, first_logits, pos, caches,
+            self.params, first_logits, pos, caches, pad,
             steps=max_new_tokens, num_beams=nb,
             eos_token_id=int(eos_token_id), prompt_len=T)
         lengths = jnp.maximum(lengths, 1)       # non-EOS token count

@@ -110,7 +110,9 @@ bool parse_header(Shard& s) {
   if (s.size < 8) return false;
   uint64_t hlen;
   std::memcpy(&hlen, s.base, 8);  // little-endian header length
-  if (8 + hlen > s.size) return false;
+  // subtract, don't add: `8 + hlen` wraps for hlen near 2^64, passing
+  // the bound and pointing the scanner past the mapping
+  if (hlen > s.size - 8) return false;
   s.data_off = 8 + hlen;
 
   Scanner sc{reinterpret_cast<const char*>(s.base + 8),

@@ -1,8 +1,14 @@
 """Continuous batcher vs the plain engine (the oracle).
 
-Each request's output must equal what the single-sequence engine
-produces for the same (bucket-padded) prompt — slot interleaving,
-admission order and retirement must not change any sequence's tokens.
+The batcher LEFT-pads prompts to their bucket and threads the pad count
+through every attention as a mask, so each request's output must equal
+what the single-sequence engine produces:
+  * fp16 cache: token-equal to the UNPADDED engine run (padding is
+    numerically invisible — the correctness-proving case);
+  * quantized cache: bit-equal to the engine's own left-pad path (the
+    pad shifts quantization-group boundaries, so unpadded equality is
+    only approximate at 2-bit; cross-shape bit-equality proves slot
+    interleaving changes nothing).
 """
 
 import jax
@@ -32,11 +38,22 @@ MAX = 256
 BUCKETS = (32, 64)
 
 
-def _oracle(params, prompt, max_new, bucket):
-    padded = list(prompt) + [prompt[-1]] * (bucket - len(prompt))
-    eng = Engine(cfg=CFG, qcfg=QCFG, params=params, max_seq_len=MAX,
+def _oracle(params, qcfg, prompt, max_new, bucket):
+    """Engine run matching the batcher's cache layout: left-padded to
+    the bucket, pad carried as a mask."""
+    pad = bucket - len(prompt)
+    padded = [0] * pad + list(prompt)
+    eng = Engine(cfg=CFG, qcfg=qcfg, params=params, max_seq_len=MAX,
                  batch_size=1)
-    out = eng.generate(jnp.asarray([padded], jnp.int32), max_new)
+    out = eng.generate(jnp.asarray([padded], jnp.int32), max_new,
+                       pad_lens=[pad])
+    return [int(t) for t in np.asarray(out[0])]
+
+
+def _oracle_unpadded(params, qcfg, prompt, max_new):
+    eng = Engine(cfg=CFG, qcfg=qcfg, params=params, max_seq_len=MAX,
+                 batch_size=1)
+    out = eng.generate(jnp.asarray([list(prompt)], jnp.int32), max_new)
     return [int(t) for t in np.asarray(out[0])]
 
 
@@ -59,14 +76,15 @@ def test_batcher_matches_engine(quant):
 
     for req in reqs:
         bucket = 32 if len(req.prompt) <= 32 else 64
-        eng = Engine(cfg=CFG, qcfg=qcfg, params=params, max_seq_len=MAX,
-                     batch_size=1)
-        padded = list(req.prompt) + [req.prompt[-1]] * (bucket - len(req.prompt))
-        want = [int(t) for t in np.asarray(
-            eng.generate(jnp.asarray([padded], jnp.int32),
-                         req.max_new_tokens)[0])]
+        want = _oracle(params, qcfg, req.prompt, req.max_new_tokens, bucket)
         got = results[req.uid].tokens
         assert got == want, (req.uid, got, want)
+        if not quant:
+            # fp16 cache: padding must be numerically invisible — the
+            # served output equals the bare unpadded prompt's output
+            want_bare = _oracle_unpadded(params, qcfg, req.prompt,
+                                         req.max_new_tokens)
+            assert got == want_bare, (req.uid, got, want_bare)
 
 
 def test_batcher_eos_retires_slot():

@@ -107,6 +107,48 @@ def test_wide_matches_split(bits, tprompt, steps, r):
 # TPU at T=4096) — regression for the vstrip clamp in fused_decode.py
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# v_flush < residual_length: the value-strip [nvq, nvq+W) can straddle a
+# chunk boundary (nvq mod C reaches C - v_flush).  The old single-slice
+# capture read past the chunk (OOB VMEM on real TPU, err 0.17 in
+# interpret); the segmented capture is the regression under test.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("tprompt,steps,r", [
+    (640, 0, 4),     # nvq=384, C=512: strip [384, 640) spans chunks 0/1
+    (640, 90, 4),    # decode crosses K flush + several V flushes
+    (520, 250, 1),   # MHA rows, many flushes, strip lands on both sides
+    (384, 0, 2),     # nvq=128: strip within one chunk (sanity)
+])
+def test_wide_strip_spans_chunks(tprompt, steps, r):
+    from kivi_tpu.kernels.fused_decode_wide import (
+        fused_decode_attention_wide, wide_kernel_supported)
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=256, v_flush=128)
+    assert wide_kernel_supported(1024, 256, 128, 2, 2)
+    B, H, D = 1, 2, 128
+    cache = _mk_cache(tprompt, steps, qcfg, B=B, H=H, D=D, Tmax=1024)
+    q = jax.random.normal(jax.random.PRNGKey(11), (B, H * r, 1, D),
+                          jnp.float32)
+    ref = decode_attention(q, cache, qcfg, impl="jnp")
+    got = fused_decode_attention_wide(
+        q.reshape(B, H, r, D), cache.k_codes, cache.k_scale, cache.k_mn,
+        cache.v_codes, cache.v_scale, cache.v_mn, cache.k_win,
+        cache.v_win, cache.n_k_quant, cache.n_k_win, cache.n_v_quant,
+        group_size=32, k_bits=2, v_bits=2).reshape(B, H * r, 1, D)
+    assert not np.any(np.isnan(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_wide_gate_rejects_unaligned_flush():
+    from kivi_tpu.kernels.fused_decode_wide import wide_kernel_supported
+    assert not wide_kernel_supported(1024, 256, 32, 2, 2)   # v_flush!=128k
+    assert not wide_kernel_supported(1024, 384, 128, 2, 2)  # C % W != 0
+    assert not wide_kernel_supported(1024, 128, 128, 8, 2)  # 8-bit K
+    assert wide_kernel_supported(4096, 128, 128, 2, 4)
+
+
 @pytest.mark.parametrize("impl_cfg", [
     # (tprompt, steps, Tmax, v_flush) — v_flush=None exercises the
     # per-head kernel's sliding V flush; 128 exercises the wide kernel

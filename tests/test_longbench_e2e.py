@@ -82,3 +82,34 @@ def test_longbench_predict_and_score(hf_checkpoint, tmp_path):
     assert set(results) >= {"hotpotqa", "passage_count"}
     for v in results.values():
         assert 0.0 <= v <= 100.0
+
+
+def test_long_test_sh_runs(hf_checkpoint, tmp_path):
+    """The shell driver itself (scripts/long_test.sh) must run end to
+    end — argv wiring included (it shipped broken once: the required
+    --data-dir flag was missing and argparse died on first use)."""
+    import subprocess
+    import sys
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    with open(data_dir / "hotpotqa.jsonl", "w") as f:
+        f.write(json.dumps({
+            "input": "what is the answer", "context": "one two three",
+            "answers": ["yes"], "length": 3, "all_classes": None}) + "\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # fresh interpreter: pre-imported jax defaults to the tunneled TPU;
+    # pin the subprocess to CPU (env vars alone are too late there)
+    env["KIVI_TPU_PLATFORM"] = "cpu"
+    out_dir = tmp_path / "pred"
+    proc = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "long_test.sh"),
+         "2", "2", "16", "16", hf_checkpoint, str(data_dir),
+         str(out_dir)],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+        timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert (out_dir / "hotpotqa.jsonl").exists()
+    assert "hotpotqa" in proc.stdout

@@ -17,6 +17,7 @@ Details (per-config batch, tokens/s, memory model) go to stderr.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -28,13 +29,20 @@ from kivi_tpu.config import ModelConfig, QuantConfig
 from kivi_tpu.models import modeling
 from kivi_tpu.serving.engine import Engine
 
-# Llama-2-7b attention geometry (MHA, the reference's mem_spd model) at
-# reduced depth so weights leave HBM room for multi-GB caches on one v5e.
-CFG = ModelConfig(
-    vocab_size=32000, hidden_size=4096, intermediate_size=11008,
-    num_layers=8, num_heads=32, num_kv_heads=32, head_dim=128,
-    rope_theta=10000.0, max_position_embeddings=4096,
-)
+
+def make_cfg(layers: int) -> ModelConfig:
+    # Llama-2-7b attention geometry (MHA, the reference's mem_spd model);
+    # default depth 8 leaves HBM room for multi-GB caches on one v5e,
+    # `--layers 32 --ctx 2048 --batch N` is the full-depth check (the
+    # per-layer decode cost must be depth-independent).
+    return ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_layers=layers, num_heads=32, num_kv_heads=32, head_dim=128,
+        rope_theta=10000.0, max_position_embeddings=4096,
+    )
+
+
+CFG = make_cfg(8)
 # v_flush=128: V-window flushes in 128-token blocks, which (a) admits the
 # head-folded wide decode kernel (needs 128-aligned n_v_quant) and (b)
 # keeps values in fp LONGER than the reference's 1-token slide — accuracy
@@ -123,15 +131,27 @@ def run_one(qcfg: QuantConfig, batch: int, impl: str) -> float:
 
 
 def main():
-    global _PARAMS
+    global _PARAMS, CFG, CTX, PROMPT, STEPS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--ctx", type=int, default=CTX)
+    ap.add_argument("--prompt", type=int, default=PROMPT)
+    ap.add_argument("--steps", type=int, default=STEPS)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="fixed batch for BOTH configs (0 = per-config "
+                         "max batch, the headline methodology)")
+    args = ap.parse_args()
+    CFG, CTX, PROMPT, STEPS = (make_cfg(args.layers), args.ctx,
+                               args.prompt, args.steps)
+
     on_tpu = jax.default_backend() == "tpu"
     impl = "pallas" if on_tpu else "jnp"
     _PARAMS = modeling.init_params(CFG, jax.random.PRNGKey(0))
     _PARAMS = jax.block_until_ready(_PARAMS)
 
-    b_fp = max_batch(CFG, FP16, CTX)
-    b_kv = max_batch(CFG, KIVI, CTX)
-    if not on_tpu:  # CPU smoke mode
+    b_fp = args.batch or max_batch(CFG, FP16, CTX)
+    b_kv = args.batch or max_batch(CFG, KIVI, CTX)
+    if not on_tpu and not args.batch:  # CPU smoke mode
         b_fp, b_kv = 8, 16
 
     log(f"weights {param_bytes(CFG)/2**30:.2f} GiB | "
@@ -143,6 +163,12 @@ def main():
     tps_fp = run_one(FP16, b_fp, impl=impl)
     log("KIVI-2:")
     tps_kv = run_one(KIVI, b_kv, impl=impl)
+    # per-layer decode cost (depth-independence check: this number must
+    # match between --layers 8 and --layers 32 runs at equal batch/ctx)
+    for name, tps, b in (("fp16", tps_fp, b_fp), ("kivi", tps_kv, b_kv)):
+        ms_tok = 1e3 / (tps / b)
+        log(f"  {name}: {ms_tok:.3f} ms/step/seq "
+            f"-> {ms_tok / CFG.num_layers:.4f} ms/layer/step/seq")
 
     speedup = tps_kv / tps_fp
     print(json.dumps({

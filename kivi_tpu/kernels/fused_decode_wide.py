@@ -60,8 +60,8 @@ def _iota(shape, dim):
 
 def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             vwb_ref, vsb_ref, vmb_ref, kwin_ref, vwin_ref, o_ref,
-            m_scr, l_scr, acc_scr, qbd_scr, qzp_scr, pwin_scr, maskv_scr,
-            pfold_scr, p_scr, *,
+            m_scr, l_scr, acc_scr, qbd_scr, qnat_scr, qzp_scr, pwin_scr,
+            maskv_scr, pfold_scr, p_scr, *,
             k_bits: int, v_bits: int, gs: int, C: int, W: int, r: int,
             T: int, sm_scale: float, cdt):
     nkq = cnt_ref[0]
@@ -109,17 +109,20 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             col_h = _iota((HR, Hkv * kdw2), 1) // kdw2
             qbd_scr[:, j * Hkv * kdw2:(j + 1) * Hkv * kdw2] = jnp.where(
                 col_h == head_of_row, qj, 0)
-        # natural-order block-diagonal q for the zero-point projection.
+        # natural-order block-diagonal q, kept in scratch for the
+        # per-chunk zero-point projection (scales/zps arrive CHUNKED —
+        # one (HD, cg) block per grid step — so the zp logits are a
+        # per-chunk (HR, HD) x (HD, cg) dot instead of a precomputed
+        # full-width (HR, Tg) plane; VMEM for K scales is then
+        # context-length-independent, which is what lets the head fold
+        # survive 32K contexts).
         # NOTE: do NOT fold the -1 crumb offset in here (as -q.(F*scale)):
         # the kernel would then multiply b = 1 + c/F by the scale in bf16,
         # whose 2^-8 relative rounding is F/256 of the signal after the
         # cancellation — ruinous at 2-bit (F=128).  The explicit b - 1
         # (exact in bf16) is precision-load-bearing.
-        q_nat = jnp.where(_iota((HR, HD), 1) // D == head_of_row,
-                          pltpu.repeat(q, Hkv, 1), 0)
-        Tg = km_ref.shape[-1]
-        qzp_scr[:] = jnp.dot(q_nat, km_ref[0].reshape(HD, Tg).astype(cdt),
-                             **kw)
+        qnat_scr[:] = jnp.where(_iota((HR, HD), 1) // D == head_of_row,
+                                pltpu.repeat(q, Hkv, 1), 0)
         # V-rho row head mask (HR, Hkv*vdw2*njv == HD)
         vrho_h = (_iota((HR, HD), 1) % (Hkv * vdw2)) // vdw2
         maskv_scr[:] = (vrho_h == head_of_row).astype(cdt)
@@ -217,14 +220,31 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         t0 = it * C
         mask2 = jnp.uint32({2: 0x0003_0003, 4: 0x000F_000F}[k_bits])
         kwords = kw_ref[0].reshape(Hkv * kw_ref.shape[2], C)
-        Tg = km_ref.shape[-1]
-        # two-stage group->token expansion: a direct (Tg, C) one-hot dot
-        # costs nb*Tg*C per j-block (8x the QK work itself at T=4096);
-        # selecting the chunk's cg groups first drops it to
-        # nb*(Tg*cg + cg*C)
-        sel_t = (_iota((Tg, cg), 0) == it * cg + _iota((Tg, cg), 1))
-        sel_t = sel_t.astype(cdt)                            # (Tg, cg)
+        # K scales/zps arrive as SUPERBLOCKS of Sg groups (Sg = 128, the
+        # Mosaic lane-tile, or the full Tg when Tg < 128): resident
+        # scale VMEM and per-chunk select cost are context-length-
+        # independent, so the head fold and chunk math that win at 4K
+        # stay identical at 32K.  Two-stage group->token expansion as
+        # before: a direct (Sg, C) one-hot dot costs nb*Sg*C per
+        # j-block; selecting the chunk's cg groups first drops it to
+        # nb*(Sg*cg + cg*C).
+        Sg = km_ref.shape[-1]
+        sel_t = (_iota((Sg, cg), 0)
+                 == (it * cg) % Sg + _iota((Sg, cg), 1)).astype(cdt)
         Egl = (_iota((cg, C), 0) == _iota((cg, C), 1) // gs).astype(cdt)
+
+        # zp logits are cached PER SUPERBLOCK: the (HR, HD) x (HD, Sg)
+        # projection runs once per Sg-group block (== once per program
+        # at 4K, 8x per program at 32K — amortized exactly like the old
+        # full-width precompute), leaving the per-chunk cost at the
+        # (Sg, cg) select.  Recompute on superblock entry; a left-pad
+        # can skip chunk 0, so the first LIVE chunk also recomputes.
+        @pl.when(jnp.logical_or((it * cg) % Sg == 0, it == lo // C))
+        def _qzp_super():
+            qzp_scr[:] = jnp.dot(qnat_scr[:].astype(cdt),
+                                 km_ref[0].reshape(HD, Sg).astype(cdt),
+                                 **kw)
+
         qzp_sel = jnp.dot(qzp_scr[:].astype(cdt), sel_t, **kw)
         s = jnp.dot(qzp_sel.astype(cdt), Egl, **kw)          # zp term
         nb = Hkv * kdw2
@@ -238,7 +258,7 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             vals_j = pltpu.bitcast(t | expo, jnp.bfloat16).astype(cdt)
             vals_j = vals_j - cdt(1.0)   # exact c/F; see _init note
             sblk = ks_ref[0, :, j * kdw2:(j + 1) * kdw2, :]
-            sblk = sblk.reshape(nb, Tg).astype(cdt) * cdt(Fk)
+            sblk = sblk.reshape(nb, Sg).astype(cdt) * cdt(Fk)
             ssel_j = jnp.dot(sblk, sel_t, **kw).astype(cdt)  # (nb, cg)
             sexp_j = jnp.dot(ssel_j, Egl, **kw).astype(cdt)
             vs_parts.append(vals_j * sexp_j)
@@ -333,14 +353,20 @@ def wide_kernel_supported(Tmax: int, W: int, v_flush: int, k_bits: int,
             and Tmax % C == 0 and C % W == 0 and W <= C)
 
 
-def default_head_fold(Hkv: int, r: int, D: int, Tg: int) -> int:
-    """Largest Hg dividing Hkv with Hg*r <= 32 rows and the full-width
-    K scale/zp planes bounded (~1 MiB bf16) — the VMEM governor that
-    makes the fold legal for MHA (folding all 32 heads OOMs)."""
+def default_head_fold(Hkv: int, r: int, D: int, Tg: int,
+                      chunk: int = 512) -> int:
+    """Largest Hg dividing Hkv with Hg*r <= 32 rows and the per-chunk
+    dequant temporaries (the (Hg*D, C) scaled-values tile and its
+    j-block parts, ~4*Hg*D*C bytes) bounded to ~4 MiB of VMEM.
+
+    Since the chunked-scale layout the bound is CONTEXT-LENGTH-
+    INDEPENDENT (Tg is accepted for call-site compatibility but no
+    longer governs): the same fold that wins at 4K stays legal at 32K,
+    where the old full-width scale planes collapsed it to Hg<=2."""
     hg = 1
     for cand in (2, 4, 8, 16, 32):
         if (Hkv % cand == 0 and cand * r <= 32
-                and 2 * 2 * cand * D * Tg <= (1 << 20)):
+                and 4 * cand * D * chunk <= (4 << 20)):
             hg = cand
     return hg
 
@@ -406,6 +432,15 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
     # nkq == T would index one block past the store)
     pin4 = lambda i, t, cnt: (i // ng, i % ng, 0,
                               jnp.minimum(cnt[0] // C, nt - 1))
+    # K scale/zp superblocks: Sg groups (one lane tile) per block so the
+    # resident scale VMEM no longer scales with T; the block advances
+    # every Sg//cg chunks, riding the same dead-chunk clamp as the codes
+    cg_ = C // gs
+    Sg = 128 if (Tg >= 128 and Tg % 128 == 0) else Tg
+    scale4 = lambda i, t, cnt: (
+        i // ng, i % ng, 0,
+        jnp.clip(jnp.maximum(jnp.minimum(t, (cnt[0] + C - 1) // C - 1),
+                             cnt[3 + i] // C), 0, nt - 1) * cg_ // Sg)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -413,8 +448,8 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
         in_specs=[
             pl.BlockSpec((1, HR, D), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hg, KDw, C), chunk4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hg, D, Tg), full4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hg, D, Tg), full4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, D, Sg), scale4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, D, Sg), scale4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hg, VDw, C), chunk4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hg, Dg, C), chunk4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hg, Dg, C), chunk4, memory_space=pltpu.VMEM),
@@ -430,7 +465,8 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
             pltpu.VMEM((HR, 128), jnp.float32),              # l
             pltpu.VMEM((HR, D), jnp.float32),                # acc
             pltpu.VMEM((HR, Hg * D), compute_dtype),         # q block-diag
-            pltpu.VMEM((HR, Tg), jnp.float32),               # qzp
+            pltpu.VMEM((HR, Hg * D), compute_dtype),         # q natural
+            pltpu.VMEM((HR, Sg), jnp.float32),               # zp logits
             pltpu.VMEM((HR, 3 * W), jnp.float32),            # strip probs
             pltpu.VMEM((HR, Hg * D), compute_dtype),         # V head mask
             pltpu.VMEM((Hg * D, D), compute_dtype),          # P fold

@@ -126,6 +126,12 @@ def quantize_pack_k(k_t, group_size: int, bits: int, t_block: int = 2048):
     BH = B * H
     Dw = D // (32 // bits)
     t_block = min(t_block, T)
+    if T % t_block:
+        # T not divisible by the preferred block (e.g. a 3584-token
+        # prefill flush): fall back to the largest divisor of T that is
+        # a multiple of gs, at worst one full-array block
+        t_block = next(tb for tb in range(t_block, gs - 1, -gs)
+                       if T % tb == 0)
     assert T % t_block == 0 and t_block % gs == 0
     G = T // gs
     # Mosaic requires a block's trailing dim to be 128-divisible or equal
@@ -176,6 +182,11 @@ def quantize_pack_v(v_t, group_size: int, bits: int, t_block: int = 2048):
     Dw = D // (32 // bits)
     Dg = D // gs
     t_block = min(t_block, T)
+    if T % t_block:
+        # see quantize_pack_k: odd flush lengths fall back to the
+        # largest divisor (V flushes are gs-multiples by construction)
+        t_block = next(tb for tb in range(t_block, gs - 1, -gs)
+                       if T % tb == 0)
     assert T % t_block == 0
     # same Mosaic trailing-dim rule as quantize_pack_k, here on t_block
     # itself (every block's trailing dim is t_block)

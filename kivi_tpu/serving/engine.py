@@ -33,27 +33,34 @@ class Engine:
     max_seq_len: int
     batch_size: int
     impl: str = "jnp"  # attention impl for the quantized path: jnp|pallas
+    debug: bool = False  # checkify float guards on every entry point
     cache_dtype = jnp.bfloat16
 
     def __post_init__(self):
         # Cache buffers are donated: at bench batch sizes the stacked KV
         # cache is most of HBM, and without aliasing every step would
-        # hold input+output copies.
-        self._prefill = jax.jit(
+        # hold input+output copies.  debug=True swaps jit for
+        # checkify-instrumented jit (utils/guards.py): NaN/Inf anywhere
+        # in the traced program raises at the call site.
+        if self.debug:
+            from kivi_tpu.utils.guards import checked_jit as _jit
+        else:
+            _jit = jax.jit
+        self._prefill = _jit(
             functools.partial(self._prefill_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
             donate_argnums=(2,))
-        self._decode = jax.jit(
+        self._decode = _jit(
             functools.partial(self._decode_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
             donate_argnums=(3,))
-        self._decode_scan_jit = jax.jit(
+        self._decode_scan_jit = _jit(
             functools.partial(self._decode_scan_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
             static_argnames=("steps", "temperature", "prompt_len",
                              "top_k", "top_p", "repetition_penalty"),
             donate_argnums=(3,))
-        self._beam_scan = jax.jit(
+        self._beam_scan = _jit(
             functools.partial(self._beam_scan_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
             static_argnames=("steps", "num_beams", "eos_token_id",

@@ -75,13 +75,21 @@ def _exact_reference(q_all, k_all, v_all, t):
     return np.einsum("hk,hkd->hd", p, v_all[:, : t + 1])
 
 
-# Tolerances calibrated on iid-normal K/V (the hardest case for group
-# quantization - real attention tensors have per-channel structure that KIVI
-# exploits; see vis/vis.ipynb in the reference).  Errors scale ~16x per
-# 2 bits (8-bit measures ~0.0045), confirming round-to-nearest behavior.
-@pytest.mark.parametrize("bits,tol", [(8, 0.01), (4, 0.12), (2, 0.55)])
+# Tolerances are MEASURED envelopes (seeds 3/7/11, ~1.3x headroom over
+# the worst seed), two data regimes:
+#   * "structured": per-channel K outliers + iid V (evalsuite/synth.py) —
+#     the regime KIVI was designed for (reference vis/vis.ipynb);
+#     measured 2-bit 0.20-0.26, 4-bit 0.035-0.064, 8-bit 0.004-0.009.
+#   * "iid": iid-normal K/V, the WORST case for grouped quantization;
+#     measured 2-bit 0.37-0.41, 4-bit 0.069-0.074, 8-bit 0.006-0.007.
+# Structured 2-bit error is ~2x below iid — the per-channel-K/per-token-V
+# axis choice exploiting the structure, quantified.  Errors scale ~16x
+# per 2 bits, confirming round-to-nearest behavior.
+@pytest.mark.parametrize("bits,tol,tol_s", [
+    (8, 0.010, 0.012), (4, 0.095, 0.080), (2, 0.48, 0.32)])
 @pytest.mark.parametrize("gqa", [1, 2])
-def test_streaming_decode_vs_exact(bits, tol, gqa):
+@pytest.mark.parametrize("structured", [False, True])
+def test_streaming_decode_vs_exact(bits, tol, tol_s, gqa, structured):
     """Port of reference quant/test.py:125-170: KIVI streaming decode vs
     exact attention, relative output error small."""
     qcfg = QuantConfig(k_bits=bits, v_bits=bits, group_size=16,
@@ -90,9 +98,14 @@ def test_streaming_decode_vs_exact(bits, tol, gqa):
     Hq = Hkv * gqa
     T0, steps = 48, 40
     key = jax.random.PRNGKey(3)
-    ks = jax.random.normal(key, (B, Hkv, T0 + steps, D), jnp.float32)
-    vs = jax.random.normal(jax.random.fold_in(key, 1),
-                           (B, Hkv, T0 + steps, D), jnp.float32)
+    if structured:
+        from kivi_tpu.evalsuite.synth import structured_kv
+        tol = tol_s
+        ks, vs = structured_kv(key, B, Hkv, T0 + steps, D)
+    else:
+        ks = jax.random.normal(key, (B, Hkv, T0 + steps, D), jnp.float32)
+        vs = jax.random.normal(jax.random.fold_in(key, 1),
+                               (B, Hkv, T0 + steps, D), jnp.float32)
     qs = jax.random.normal(jax.random.fold_in(key, 2),
                            (B, Hq, T0 + steps, D), jnp.float32)
 

@@ -1,0 +1,119 @@
+"""Multi-host runtime tests (parallel/multihost.py).
+
+Two REAL processes on this machine, each with 4 virtual CPU devices,
+wired by `multihost.initialize` through a local coordinator — the same
+`jax.distributed` path a TPU pod uses (SURVEY.md §5.8).  The child
+program builds the global (data, model) mesh, feeds per-process batch
+shards through `feed_batch`, and runs a jitted global reduction whose
+result every process must agree on.
+
+Plus single-process unit tests of the mesh-shape and feed logic (these
+run inside the normal 8-virtual-device suite).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+from kivi_tpu.parallel import multihost
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc
+assert jax.device_count() == 4 * nproc
+
+mesh = multihost.global_mesh(num_kv_heads=4)
+assert mesh.devices.size == 4 * nproc
+
+# each process feeds its own 4-row shard; the global batch is 8 rows
+local = (np.arange(4 * 6, dtype=np.int32).reshape(4, 6)
+         + 1000 * pid)
+batch = multihost.feed_batch(mesh, local)
+assert batch.shape == (4 * nproc, 6), batch.shape
+
+total = jax.jit(
+    lambda x: jnp.sum(x),
+    out_shardings=NamedSharding(mesh, P()))(batch)
+print("TOTAL", pid, int(total), flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_mesh_and_feed(tmp_path):
+    port = _free_port()
+    script = tmp_path / "child.py"
+    script.write_text(CHILD)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env) for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost child timed out")
+        assert p.returncode == 0, err[-2000:]
+        outs.append(out)
+    # every process must report the same global sum
+    totals = [l.split() for o in outs for l in o.splitlines()
+              if l.startswith("TOTAL")]
+    assert len(totals) == 2
+    vals = {int(t[2]) for t in totals}
+    assert len(vals) == 1
+    # shard 0: sum(0..23); shard 1: same + 1000*24
+    expect = int(np.arange(24).sum() * 2 + 1000 * 24)
+    assert vals == {expect}
+
+
+def test_global_mesh_single_process():
+    """In a single process global_mesh reduces to the local mesh; model
+    axis respects the KV-head bound."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kivi_tpu.parallel import multihost
+    mesh = multihost.global_mesh(num_kv_heads=4)
+    assert mesh.devices.size == 8
+    assert mesh.shape["model"] <= 4
+    mesh2 = multihost.global_mesh(num_kv_heads=32, n_model=8)
+    assert mesh2.shape["model"] == 8 and mesh2.shape["data"] == 1
+
+
+def test_feed_batch_single_process():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kivi_tpu.parallel import multihost
+    mesh = multihost.global_mesh(num_kv_heads=4, n_model=4)
+    local = np.arange(2 * 4 * 3, dtype=np.int32).reshape(8, 3)
+    batch = multihost.feed_batch(mesh, local)
+    assert batch.shape == (8, 3)
+    np.testing.assert_array_equal(np.asarray(batch), local)

@@ -1,14 +1,18 @@
-"""End-to-end generation demo (analogue of the reference's `example.py`).
+"""Minimal end-to-end generation demo — runs ANYWHERE (no weights needed).
 
-Runs greedy generation with a 2-bit KIVI KV cache and compares the output
-tokens against the fp-cache baseline.  Uses a random-weight model by
-default (no checkpoint download in this environment); pass --model-dir to
-run a real HF Llama/Mistral checkpoint.
+The quickest way to see the engine work: a tiny random-weight model (or a
+real checkpoint via --model-dir) prefills a prompt and greedily decodes
+with the 2-bit KIVI cache, printing tokens and timing.  The analogue of
+the reference's `example.py` minus the HF download (air-gapped image).
 
 Usage:
-  python examples/generate_demo.py [--impl pallas|jnp] [--bits 2]
-      [--model-dir /path/to/hf/llama] [--prompt "..."]
+  python examples/generate_demo.py                     # tiny, random
+  python examples/generate_demo.py --preset llama2-7b  # full geometry
+  python examples/generate_demo.py --model-dir /ckpt/llama-2-7b \
+      --prompt "The capital of France is"
 """
+
+from __future__ import annotations
 
 import argparse
 import os
@@ -17,71 +21,64 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from kivi_tpu.config import QuantConfig, tiny_config
-from kivi_tpu.models import modeling
-from kivi_tpu.serving.engine import Engine
-
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--impl", default="pallas", choices=["pallas", "jnp"])
-    ap.add_argument("--bits", type=int, default=2)
-    ap.add_argument("--group-size", type=int, default=32)
-    ap.add_argument("--residual", type=int, default=128)
-    ap.add_argument("--model-dir", default=None)
-    ap.add_argument("--prompt", default=None)
+    from kivi_tpu.cli import add_engine_flags, add_quant_flags, load_model
+    add_quant_flags(ap)
+    add_engine_flags(ap)
+    ap.add_argument("--prompt", default="")
     ap.add_argument("--max-new", type=int, default=32)
+    ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--top-k", type=int, default=0)
+    ap.add_argument("--top-p", type=float, default=1.0)
     args = ap.parse_args()
 
-    qcfg = QuantConfig(k_bits=args.bits, v_bits=args.bits,
-                       group_size=args.group_size,
-                       residual_length=args.residual)
-    fp = QuantConfig(k_bits=16, v_bits=16, group_size=args.group_size,
-                     residual_length=args.residual)
+    import jax
+    import jax.numpy as jnp
 
-    if args.model_dir:
-        from kivi_tpu.models.hf_loader import load_hf_checkpoint
-        from transformers import AutoTokenizer
-        cfg, params = load_hf_checkpoint(args.model_dir)
-        tok = AutoTokenizer.from_pretrained(args.model_dir)
-        prompt = args.prompt or "The capital of France is"
-        ids = tok(prompt, return_tensors="np")["input_ids"]
-        tokens = jnp.asarray(ids, jnp.int32)
+    from kivi_tpu.cli import EngineArgs, quant_config_from_args
+    from kivi_tpu.config import tiny_config
+    from kivi_tpu.serving.engine import Engine
+
+    qcfg = quant_config_from_args(args)
+    if args.model_dir or args.preset:
+        eargs = EngineArgs(model_dir=args.model_dir, preset=args.preset,
+                           max_seq_len=args.max_seq_len,
+                           batch_size=args.batch_size, impl=args.impl,
+                           mesh_data=args.mesh_data,
+                           mesh_model=args.mesh_model)
+        cfg, params = load_model(eargs)
     else:
-        # random-weight model with KIVI-friendly geometry (head_dim 128)
-        cfg = tiny_config(num_layers=4, hidden_size=256, num_heads=4,
-                          num_kv_heads=2, head_dim=128, vocab_size=512,
-                          intermediate_size=512)
+        from kivi_tpu.models import modeling
+        cfg = tiny_config()
         params = modeling.init_params(cfg, jax.random.PRNGKey(0))
-        tok = None
-        tokens = jnp.asarray(
-            np.random.default_rng(0).integers(0, 512, (1, 160)), jnp.int32)
 
-    print(f"device: {jax.devices()[0]}  impl={args.impl}  "
-          f"k/v bits={args.bits}  gs={qcfg.group_size}  "
-          f"residual={qcfg.residual_length}")
+    tok = None
+    if args.model_dir:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.model_dir)
+        ids = tok.encode(args.prompt or "The capital of France is")
+    else:
+        ids = list(range(1, 17))    # random-weight model: any ids work
 
-    outs = {}
-    for name, q in (("kivi", qcfg), ("fp16-cache", fp)):
-        eng = Engine(cfg, q, params, max_seq_len=1024,
-                     batch_size=tokens.shape[0],
-                     impl=args.impl if name == "kivi" else "jnp")
-        t0 = time.time()
-        out = eng.generate(tokens, args.max_new)
-        out = np.asarray(out)
-        outs[name] = out
-        dt = time.time() - t0
-        text = (tok.decode(out[0]) if tok else out[0].tolist())
-        print(f"[{name:>10}] {dt:6.1f}s  -> {text}")
-
-    agree = (outs["kivi"] == outs["fp16-cache"]).mean()
-    print(f"token agreement kivi vs fp: {agree:.0%}")
-    return 0
+    impl = args.impl if jax.default_backend() == "tpu" else "jnp"
+    eng = Engine(cfg=cfg, qcfg=qcfg, params=params,
+                 max_seq_len=max(args.max_seq_len,
+                                 len(ids) + args.max_new + 1),
+                 batch_size=1, impl=impl)
+    t0 = time.perf_counter()
+    out = eng.generate(jnp.asarray([ids], jnp.int32), args.max_new,
+                       temperature=args.temperature, top_k=args.top_k,
+                       top_p=args.top_p,
+                       eos_token_id=tok.eos_token_id if tok else None)
+    toks = [int(t) for t in out[0]]
+    dt = time.perf_counter() - t0
+    print(f"# backend={jax.default_backend()} impl={impl} "
+          f"k{qcfg.k_bits}v{qcfg.v_bits} | {len(toks)} tokens in {dt:.2f}s"
+          f" (incl. compile)", file=sys.stderr)
+    print(tok.decode(toks, skip_special_tokens=True) if tok else toks)
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

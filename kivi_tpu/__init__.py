@@ -1,3 +1,32 @@
-"""kivi-tpu: TPU-native KIVI 2/4-bit KV-cache inference engine."""
+"""kivi-tpu: TPU-native KIVI 2/4-bit KV-cache inference engine.
 
-__version__ = "0.1.0"
+Public surface (lazy imports keep `import kivi_tpu` light — jax loads
+only when a symbol is touched):
+
+    from kivi_tpu import Engine, QuantConfig, ModelConfig, PRESETS
+    from kivi_tpu import ContinuousBatcher, Request
+    from kivi_tpu.models.hf_loader import load_hf_checkpoint
+"""
+
+__version__ = "0.2.0"
+
+_LAZY = {
+    "QuantConfig": ("kivi_tpu.config", "QuantConfig"),
+    "ModelConfig": ("kivi_tpu.config", "ModelConfig"),
+    "PRESETS": ("kivi_tpu.config", "PRESETS"),
+    "tiny_config": ("kivi_tpu.config", "tiny_config"),
+    "Engine": ("kivi_tpu.serving.engine", "Engine"),
+    "ContinuousBatcher": ("kivi_tpu.serving.batcher", "ContinuousBatcher"),
+    "Request": ("kivi_tpu.serving.batcher", "Request"),
+}
+
+__all__ = sorted(_LAZY) + ["__version__"]
+
+
+def __getattr__(name):
+    try:
+        mod, attr = _LAZY[name]
+    except KeyError:
+        raise AttributeError(f"module 'kivi_tpu' has no attribute {name!r}")
+    import importlib
+    return getattr(importlib.import_module(mod), attr)

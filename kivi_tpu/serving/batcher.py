@@ -47,6 +47,12 @@ class Request:
     prompt: List[int]
     max_new_tokens: int
     eos_token_id: Optional[int] = None
+    # per-request sampling controls (HF semantics, serving/sampling.py);
+    # temperature 0 = greedy.  Applied per SLOT inside the one jitted
+    # decode program — mixed greedy/sampled traffic shares one trace.
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
 
 
 @dataclasses.dataclass
@@ -98,6 +104,10 @@ class ContinuousBatcher:
         self.pos = jnp.zeros((num_slots, 1), jnp.int32)
         self.pad_dev = jnp.zeros((num_slots,), jnp.int32)
         self.act_dev = jnp.zeros((num_slots,), jnp.bool_)
+        self.temp_dev = jnp.zeros((num_slots,), jnp.float32)
+        self.topk_dev = jnp.zeros((num_slots,), jnp.int32)
+        self.topp_dev = jnp.ones((num_slots,), jnp.float32)
+        self.rng = jax.random.PRNGKey(0)
 
         self._prefills: Dict[int, Callable] = {}
         self._decode = jax.jit(functools.partial(
@@ -109,27 +119,35 @@ class ContinuousBatcher:
     def _make_prefill(self, bucket: int):
         cfg, qcfg, impl = self.cfg, self.qcfg, self.impl
 
-        def fn(params, tokens, cache, pad):
+        def fn(params, tokens, cache, pad, key, temp, topk, topp):
             # tokens (1, bucket) LEFT-padded by pad (1,) slots: one jit
             # per prompt-length bucket, output token-equal to an
-            # unpadded prefill of the bare prompt.
+            # unpadded prefill of the bare prompt; the request's
+            # sampling controls apply to this first token too.
+            from kivi_tpu.serving import sampling
             B, T = tokens.shape
             positions = jnp.maximum(
                 jnp.arange(T, dtype=jnp.int32)[None, :] - pad[:, None], 0)
             logits, cache = modeling.forward(
                 params, tokens, cache, cfg, qcfg, positions,
                 mode="prefill", impl=impl, last_only=True, pad_len=pad)
-            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+            nxt = sampling.sample_step_per_row(logits[:, -1], key, temp,
+                                               topk, topp)
             return nxt, cache
 
         return jax.jit(fn)
 
     @staticmethod
-    def _decode_all(params, tok, pos, caches, active, pads, *, cfg, qcfg,
-                    impl):
-        """One decode step for all slots. tok/pos (S,1); active/pads (S,)."""
+    def _decode_all(params, tok, pos, caches, active, pads, rng, temps,
+                    topks, topps, *, cfg, qcfg, impl):
+        """One decode step for all slots. tok/pos (S,1); active/pads/
+        sampling params (S,); rng one key (split per slot inside)."""
+        from kivi_tpu.serving import sampling
 
-        def one(tok1, pos1, cache1, act1, pad1):
+        S = tok.shape[0]
+        keys = jax.random.split(rng, S)
+
+        def one(tok1, pos1, cache1, act1, pad1, key1, t1, k1, p1):
             logits, new_cache = modeling.forward(
                 params, tok1[None], cache1, cfg, qcfg, pos1[None],
                 mode="decode", impl=impl, pad_len=pad1[None])
@@ -138,11 +156,12 @@ class ContinuousBatcher:
                 lambda n, o: jnp.where(
                     act1.reshape((1,) * n.ndim), n, o),
                 new_cache, cache1)
-            nxt = jnp.argmax(logits[0, -1], -1).astype(jnp.int32)
+            nxt = sampling.sample_step_per_row(
+                logits[:, -1], key1, t1[None], k1[None], p1[None])[0]
             return nxt, cache
 
-        nxt, caches = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
-            tok, pos, caches, active, pads)  # tok1 (1,) -> [None] = (1, 1)
+        nxt, caches = jax.vmap(one)(
+            tok, pos, caches, active, pads, keys, temps, topks, topps)
         return nxt, caches
 
     # -- host-side loop -----------------------------------------------------
@@ -177,9 +196,13 @@ class ContinuousBatcher:
             padded = [0] * pad + prompt
             cache1 = jax.tree_util.tree_map(
                 lambda a: jnp.zeros(a.shape[1:], a.dtype), self.caches)
+            self.rng, sub = jax.random.split(self.rng)
             nxt, cache1 = self._prefills[bucket](
                 self.params, jnp.asarray([padded], jnp.int32), cache1,
-                jnp.asarray([pad], jnp.int32))
+                jnp.asarray([pad], jnp.int32), sub,
+                jnp.asarray([req.temperature], jnp.float32),
+                jnp.asarray([req.top_k], jnp.int32),
+                jnp.asarray([req.top_p], jnp.float32))
             # write slot state
             self.caches = jax.tree_util.tree_map(
                 lambda big, one: jax.lax.dynamic_update_index_in_dim(
@@ -189,6 +212,9 @@ class ContinuousBatcher:
             self.pos = self.pos.at[slot, 0].set(len(prompt))
             self.pad_dev = self.pad_dev.at[slot].set(pad)
             self.act_dev = self.act_dev.at[slot].set(True)
+            self.temp_dev = self.temp_dev.at[slot].set(req.temperature)
+            self.topk_dev = self.topk_dev.at[slot].set(req.top_k)
+            self.topp_dev = self.topp_dev.at[slot].set(req.top_p)
             self.active[slot] = True
             self.slot_req[slot] = req
             self.slot_out[slot] = [int(nxt[0])]
@@ -215,9 +241,10 @@ class ContinuousBatcher:
         self._admit()
         if not self.active.any():
             return
+        self.rng, sub = jax.random.split(self.rng)
         nxt, self.caches = self._decode(
             self.params, self.cur_tok, self.pos, self.caches, self.act_dev,
-            self.pad_dev)
+            self.pad_dev, sub, self.temp_dev, self.topk_dev, self.topp_dev)
         nxt_host = np.asarray(nxt)
         self.cur_tok = nxt[:, None]
         self.pos = self.pos + self.act_dev.astype(jnp.int32)[:, None]

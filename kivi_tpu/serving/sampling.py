@@ -81,6 +81,40 @@ def sample_step(logits: jax.Array, rng, *, temperature: float = 0.0,
     return jax.random.categorical(rng, logits).astype(jnp.int32)
 
 
+def sample_step_per_row(logits: jax.Array, rng, temperature: jax.Array,
+                        top_k: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Per-ROW sampling controls — the continuous batcher's variant:
+    each slot carries its own (temperature, top_k, top_p), all traced
+    (no per-request recompile).  temperature <= 0 rows are greedy.
+
+    Per-row top-k uses rank masking (rank of each logit within its row
+    < k); per-row top-p thresholds the sorted cumulative mass exactly
+    like apply_top_p.  Rows with top_k <= 0 / top_p >= 1 are unfiltered.
+    Semantics per row match the static sample_step (tested)."""
+    B, V = logits.shape
+    t = jnp.asarray(temperature, jnp.float32).reshape(B, 1)
+    k = jnp.asarray(top_k, jnp.int32).reshape(B, 1)
+    p = jnp.asarray(top_p, jnp.float32).reshape(B, 1)
+    greedy = t <= 0.0
+    lt = logits / jnp.where(greedy, 1.0, t)
+
+    order = jnp.argsort(-lt, axis=-1)               # descending
+    ranks = jnp.argsort(order, axis=-1)             # rank of each logit
+    keep_k = ranks < jnp.where(k > 0, k, V)
+    lt = jnp.where(keep_k, lt, FILTER_VALUE)
+
+    sorted_lt = jnp.take_along_axis(lt, order, axis=-1)
+    probs = jax.nn.softmax(sorted_lt, axis=-1)
+    prev = jnp.cumsum(probs, axis=-1) - probs
+    n_keep = jnp.sum(prev < p, axis=-1, keepdims=True)  # >= 1
+    thr = jnp.take_along_axis(sorted_lt, n_keep - 1, axis=-1)
+    lt = jnp.where(lt < thr, FILTER_VALUE, lt)
+
+    sampled = jax.random.categorical(rng, lt).astype(jnp.int32)
+    return jnp.where(greedy[:, 0], jnp.argmax(logits, -1).astype(jnp.int32),
+                     sampled)
+
+
 def seen_mask_from_prompt(tokens: jax.Array, vocab_size: int,
                           pad_len=None) -> jax.Array:
     """(B, T) prompt ids -> (B, V) bool mask for the repetition penalty.

@@ -110,3 +110,31 @@ def test_batcher_rejects_oversized():
                             max_seq_len=64, prompt_buckets=(32,))
     res = bat.run([Request(uid=7, prompt=[1] * 30, max_new_tokens=100)])
     assert res[7].tokens == []
+
+
+def test_batcher_per_request_sampling():
+    """Mixed greedy/sampled traffic in one batch: greedy requests stay
+    token-equal to the engine oracle while sampled requests produce
+    tokens from the filtered set (top_k=1 forces determinism)."""
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    p1 = list(rng.randint(1, CFG.vocab_size, size=24))
+    p2 = list(rng.randint(1, CFG.vocab_size, size=30))
+    reqs = [
+        Request(uid=0, prompt=p1, max_new_tokens=6),               # greedy
+        Request(uid=1, prompt=p2, max_new_tokens=6,
+                temperature=1.5, top_k=1),                         # = greedy
+        Request(uid=2, prompt=p1, max_new_tokens=6,
+                temperature=2.0, top_p=0.95),                      # sampled
+    ]
+    bat = ContinuousBatcher(CFG, QCFG, params, num_slots=2,
+                            max_seq_len=MAX, prompt_buckets=BUCKETS)
+    results = bat.run(reqs)
+    want0 = _oracle(params, QCFG, p1, 6, 32)
+    assert results[0].tokens == want0
+    # temperature>0 with top_k=1 must equal the greedy trajectory
+    want1 = _oracle(params, QCFG, p2, 6, 32)
+    assert results[1].tokens == want1
+    assert len(results[2].tokens) == 6
+    assert all(0 <= t < CFG.vocab_size for t in results[2].tokens)

@@ -108,3 +108,28 @@ def test_beam_kivi_cache_runs():
     out = np.asarray(eng.generate_beam(toks, 40, num_beams=2))
     assert out.shape == (2, 40)
     assert (out >= 0).all() and (out < cfg.vocab_size).all()
+
+
+def test_beam_padded_matches_unpadded_fp16():
+    """Left-padded beam search equals unpadded beam search at fp16 (the
+    pad mask must survive the per-step cache reorder)."""
+    cfg = _tiny()
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=16,
+                       residual_length=16)
+    params = modeling.init_params(cfg, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    prompt = list(np.random.RandomState(2).randint(1, cfg.vocab_size,
+                                                   size=20))
+    nb, steps = 3, 6
+    with jax.default_matmul_precision("highest"):
+        eng = Engine(cfg=cfg, qcfg=qcfg, params=params, max_seq_len=128,
+                     batch_size=nb)
+        want = np.asarray(eng.generate_beam(
+            jnp.asarray([prompt], jnp.int32), steps, num_beams=nb))
+        pad = 7
+        eng2 = Engine(cfg=cfg, qcfg=qcfg, params=params, max_seq_len=128,
+                      batch_size=nb)
+        got = np.asarray(eng2.generate_beam(
+            jnp.asarray([[0] * pad + prompt], jnp.int32), steps,
+            num_beams=nb, pad_lens=[pad]))
+    np.testing.assert_array_equal(got, want)

@@ -115,3 +115,52 @@ def test_sample_step_respects_filters():
             jnp.asarray(LOGITS), jax.random.PRNGKey(s),
             temperature=1.5, top_k=1)
         np.testing.assert_array_equal(np.asarray(out), LOGITS.argmax(-1))
+
+
+# ---------------------------------------------------------------------------
+# per-row batched sampler (the continuous batcher's variant)
+# ---------------------------------------------------------------------------
+
+def test_per_row_greedy_matches_argmax():
+    out = sampling.sample_step_per_row(
+        jnp.asarray(LOGITS), jax.random.PRNGKey(0),
+        jnp.zeros(4), jnp.zeros(4, jnp.int32), jnp.ones(4))
+    np.testing.assert_array_equal(np.asarray(out), LOGITS.argmax(-1))
+
+
+def test_per_row_topk1_matches_argmax():
+    out = sampling.sample_step_per_row(
+        jnp.asarray(LOGITS), jax.random.PRNGKey(3),
+        jnp.full(4, 1.3), jnp.ones(4, jnp.int32), jnp.ones(4))
+    np.testing.assert_array_equal(np.asarray(out), LOGITS.argmax(-1))
+
+
+def test_per_row_filter_matches_static():
+    """Row-wise filtering equals the static warpers applied per row."""
+    t, k, p = 0.8, 7, 0.9
+    lt = jnp.asarray(LOGITS) / t
+    want = sampling.apply_top_p(sampling.apply_top_k(lt, k), p)
+    # reproduce via the per-row internals: rows where the filtered set
+    # differs would sample outside the static keep-set with prob > 0;
+    # instead check directly that every per-row sample lies in the
+    # static keep-set across many draws
+    keep = np.isfinite(np.asarray(want))
+    for s in range(20):
+        out = sampling.sample_step_per_row(
+            jnp.asarray(LOGITS), jax.random.PRNGKey(s),
+            jnp.full(4, t), jnp.full(4, k, jnp.int32), jnp.full(4, p))
+        for b, tok in enumerate(np.asarray(out)):
+            assert keep[b, tok], (b, tok)
+
+
+def test_per_row_mixed_greedy_and_sampled():
+    """Greedy rows are deterministic while sampled rows vary."""
+    temps = jnp.asarray([0.0, 2.0, 0.0, 2.0])
+    outs = set()
+    for s in range(10):
+        out = np.asarray(sampling.sample_step_per_row(
+            jnp.asarray(LOGITS), jax.random.PRNGKey(s), temps,
+            jnp.zeros(4, jnp.int32), jnp.ones(4)))
+        assert out[0] == LOGITS[0].argmax() and out[2] == LOGITS[2].argmax()
+        outs.add((out[1], out[3]))
+    assert len(outs) > 1

@@ -110,12 +110,12 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             qbd_scr[:, j * Hkv * kdw2:(j + 1) * Hkv * kdw2] = jnp.where(
                 col_h == head_of_row, qj, 0)
         # natural-order block-diagonal q, kept in scratch for the
-        # per-chunk zero-point projection (scales/zps arrive CHUNKED —
-        # one (HD, cg) block per grid step — so the zp logits are a
-        # per-chunk (HR, HD) x (HD, cg) dot instead of a precomputed
-        # full-width (HR, Tg) plane; VMEM for K scales is then
-        # context-length-independent, which is what lets the head fold
-        # survive 32K contexts).
+        # per-SUPERBLOCK zero-point projection (scales/zps arrive as
+        # Sg-group superblocks, so the zp logits are recomputed from
+        # q_nat on superblock entry instead of precomputed over a
+        # full-width (HR, Tg) plane; K-scale VMEM is then context-
+        # length-independent, which is what lets the head fold survive
+        # 32K contexts).
         # NOTE: do NOT fold the -1 crumb offset in here (as -q.(F*scale)):
         # the kernel would then multiply b = 1 + c/F by the scale in bf16,
         # whose 2^-8 relative rounding is F/256 of the signal after the
@@ -355,18 +355,24 @@ def wide_kernel_supported(Tmax: int, W: int, v_flush: int, k_bits: int,
 
 def default_head_fold(Hkv: int, r: int, D: int, Tg: int,
                       chunk: int = 512) -> int:
-    """Largest Hg dividing Hkv with Hg*r <= 32 rows and the per-chunk
-    dequant temporaries (the (Hg*D, C) scaled-values tile and its
-    j-block parts, ~4*Hg*D*C bytes) bounded to ~4 MiB of VMEM.
+    """Largest Hg dividing Hkv with Hg*r <= 32 rows, Hg <= 16 (Hg=32
+    fails to compile at useful chunk sizes), and the per-chunk dequant
+    temporaries (the (Hg*D, C) scaled-values tile and its j-block
+    parts, ~4*Hg*D*C bytes) bounded to ~8 MiB of VMEM.  Measured sweep
+    at the 4K bench geometry (B=32): (16, 512) 3.36 ms, (16, 1024)
+    2.99 ms, (32, 256) 3.47, (8, 512) 4.40 — but the C=1024 kernel win
+    did NOT survive to the end-to-end bench (B=72: 1,966 vs 2,001
+    tok/s) and its 32K compile ran past 15 minutes, so 512 stays the
+    default.
 
     Since the chunked-scale layout the bound is CONTEXT-LENGTH-
     INDEPENDENT (Tg is accepted for call-site compatibility but no
     longer governs): the same fold that wins at 4K stays legal at 32K,
     where the old full-width scale planes collapsed it to Hg<=2."""
     hg = 1
-    for cand in (2, 4, 8, 16, 32):
+    for cand in (2, 4, 8, 16):
         if (Hkv % cand == 0 and cand * r <= 32
-                and 4 * cand * D * chunk <= (4 << 20)):
+                and 4 * cand * D * chunk <= (8 << 20)):
             hg = cand
     return hg
 

@@ -101,13 +101,17 @@ def main():
     ap.add_argument("--ctx", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=384)
     ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--kv-heads", type=int, default=8,
+                    help="8 = MHA (LongChat-like); 2 = GQA r=4 "
+                         "(Mistral-like, the reference's harder case)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     cfg = ModelConfig(
         vocab_size=32000, hidden_size=1024, intermediate_size=2816,
-        num_layers=args.layers, num_heads=8, num_kv_heads=8, head_dim=128,
+        num_layers=args.layers, num_heads=8, num_kv_heads=args.kv_heads,
+        head_dim=128,
         rope_theta=10000.0, max_position_embeddings=args.ctx)
     impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     key = jax.random.PRNGKey(args.seed)

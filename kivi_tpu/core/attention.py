@@ -68,17 +68,28 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
     # (kernels/fused_decode_wide.py) lifts the per-head kernel's r-row
     # MXU tiles to head_fold*r rows (measured on v5e at T=4096:
     # 1.8x for Llama-2 MHA geometry with a 16-head fold, 1.3-1.8x for
-    # Llama-3 GQA with the full 8-head fold).  Its VMEM governor
-    # (default_head_fold) may shrink the fold at long context (the K
-    # scale/zp planes load full-width); below an 8-row fold the
+    # Llama-3 GQA with the full 8-head fold).  Below an 8-row fold the
     # per-head kernel wins again.  It needs 128-aligned windows AND
     # 128-aligned value flushes; the per-head kernel needs only the
-    # former; the split path serves everything else (jnp oracle, 8-bit,
-    # sliding window).
+    # former; the split path serves everything else (jnp oracle, 8-bit).
+    #
+    # A Mistral sliding window is ALSO just a per-row lower position
+    # bound (position t attends > t - window), so it folds into the
+    # same `lo` the pad mask uses — and the megakernels' front-chunk
+    # DMA elision then skips the cache outside the window entirely:
+    # long-context SWA decode reads O(window), not O(T).  (The
+    # reference never fused SWA — its flash sliding-window branch is
+    # dead code, `models/mistral_kivi.py`.)
+    lo = pad_len
+    if sliding_window is not None:
+        swa_lo = jnp.maximum(cache.seq_len - sliding_window, 0)
+        swa_lo = jnp.full((B,), swa_lo, jnp.int32)
+        lo = swa_lo if lo is None else jnp.maximum(
+            jnp.asarray(lo, jnp.int32).reshape(B), swa_lo)
     from kivi_tpu.kernels.fused_decode_wide import (default_head_fold,
                                                     wide_kernel_supported)
     hg = default_head_fold(Hkv, r, D, Tmax // qcfg.group_size)
-    if (impl == "pallas" and sliding_window is None and hg * r >= 8
+    if (impl == "pallas" and hg * r >= 8
             and wide_kernel_supported(Tmax, W, qcfg.value_flush,
                                       qcfg.k_bits, qcfg.v_bits)):
         from kivi_tpu.kernels.fused_decode_wide import (
@@ -88,10 +99,9 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
             cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
             cache.k_win, cache.v_win, cache.n_k_quant, cache.n_k_win,
             cache.n_v_quant, group_size=qcfg.group_size,
-            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, pad_len=pad_len)
+            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, pad_len=lo)
         return out.reshape(B, Hq, 1, D)
-    if (impl == "pallas" and sliding_window is None
-            and W % 128 == 0
+    if (impl == "pallas" and W % 128 == 0
             and qcfg.k_bits in (2, 4) and qcfg.v_bits in (2, 4)):
         from kivi_tpu.kernels.fused_decode import fused_decode_attention
         out = fused_decode_attention(
@@ -99,7 +109,7 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
             cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
             cache.k_win, cache.v_win, cache.n_k_quant, cache.n_k_win,
             cache.n_v_quant, group_size=qcfg.group_size,
-            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, pad_len=pad_len)
+            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, pad_len=lo)
         return out.reshape(B, Hq, 1, D)
 
     qg = q.reshape(B, Hkv, r, D).astype(jnp.float32)

@@ -173,3 +173,51 @@ def test_deep_cache_multi_chunk(impl_cfg):
     assert not np.any(np.isnan(np.asarray(got)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# Mistral sliding-window decode on the MEGAKERNELS: a sliding window is
+# the same per-row lower position bound the pad mask uses, so the fused
+# kernels serve SWA too (the reference's flash SWA branch is dead code —
+# its eager path materializes the full mask).  Oracle: the split jnp
+# path's native sliding_window handling.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("vf,r,window", [
+    (128, 4, 256),    # wide kernel (GQA fold 8)
+    (128, 4, 100),    # window not 128-aligned
+    (32, 4, 256),     # per-head kernel (unaligned v_flush)
+    (128, 1, 192),    # wide kernel MHA rows
+])
+def test_swa_decode_matches_split(vf, r, window):
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=128, v_flush=vf)
+    B, H, D = 2, 2, 128
+    cache = _mk_cache(520, 60, qcfg, B=B, H=H, D=D)   # seq_len 580
+    q = jax.random.normal(jax.random.PRNGKey(13), (B, H * r, 1, D),
+                          jnp.float32)
+    ref = decode_attention(q, cache, qcfg, impl="jnp",
+                           sliding_window=window)
+    got = decode_attention(q, cache, qcfg, impl="pallas",
+                           sliding_window=window)
+    assert not np.any(np.isnan(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_swa_decode_with_pad():
+    """Sliding window and left-pad compose (lo = max of the two)."""
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=128, v_flush=128)
+    B, H, r, D = 2, 2, 4, 128
+    cache = _mk_cache(520, 0, qcfg, B=B, H=H, D=D)
+    q = jax.random.normal(jax.random.PRNGKey(14), (B, H * r, 1, D),
+                          jnp.float32)
+    pads = jnp.asarray([400, 0], jnp.int32)   # row 0: pad beyond window
+    ref = decode_attention(q, cache, qcfg, impl="jnp",
+                           sliding_window=256, pad_len=pads)
+    got = decode_attention(q, cache, qcfg, impl="pallas",
+                           sliding_window=256, pad_len=pads)
+    assert not np.any(np.isnan(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)

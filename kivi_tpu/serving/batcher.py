@@ -53,6 +53,7 @@ class Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 1.0
+    repetition_penalty: float = 1.0
 
 
 @dataclasses.dataclass
@@ -107,6 +108,11 @@ class ContinuousBatcher:
         self.temp_dev = jnp.zeros((num_slots,), jnp.float32)
         self.topk_dev = jnp.zeros((num_slots,), jnp.int32)
         self.topp_dev = jnp.ones((num_slots,), jnp.float32)
+        self.pen_dev = jnp.ones((num_slots,), jnp.float32)
+        # per-slot token-id mask of the sequence so far (prompt +
+        # generated), for the repetition penalty — HF penalizes over the
+        # FULL input_ids
+        self.seen_dev = jnp.zeros((num_slots, cfg.vocab_size), jnp.bool_)
         self.rng = jax.random.PRNGKey(0)
 
         self._prefills: Dict[int, Callable] = {}
@@ -119,7 +125,7 @@ class ContinuousBatcher:
     def _make_prefill(self, bucket: int):
         cfg, qcfg, impl = self.cfg, self.qcfg, self.impl
 
-        def fn(params, tokens, cache, pad, key, temp, topk, topp):
+        def fn(params, tokens, cache, pad, key, temp, topk, topp, pen):
             # tokens (1, bucket) LEFT-padded by pad (1,) slots: one jit
             # per prompt-length bucket, output token-equal to an
             # unpadded prefill of the bare prompt; the request's
@@ -131,23 +137,28 @@ class ContinuousBatcher:
             logits, cache = modeling.forward(
                 params, tokens, cache, cfg, qcfg, positions,
                 mode="prefill", impl=impl, last_only=True, pad_len=pad)
-            nxt = sampling.sample_step_per_row(logits[:, -1], key, temp,
-                                               topk, topp)
-            return nxt, cache
+            seen = sampling.seen_mask_from_prompt(tokens, cfg.vocab_size,
+                                                  pad_len=pad)
+            lg = sampling.apply_repetition_penalty_per_row(
+                logits[:, -1], seen, pen)
+            nxt = sampling.sample_step_per_row(lg, key, temp, topk, topp)
+            return nxt, cache, seen
 
         return jax.jit(fn)
 
     @staticmethod
     def _decode_all(params, tok, pos, caches, active, pads, rng, temps,
-                    topks, topps, *, cfg, qcfg, impl):
+                    topks, topps, pens, seen, *, cfg, qcfg, impl):
         """One decode step for all slots. tok/pos (S,1); active/pads/
-        sampling params (S,); rng one key (split per slot inside)."""
+        sampling params (S,); seen (S, V) penalty masks; rng one key
+        (split per slot inside)."""
         from kivi_tpu.serving import sampling
 
         S = tok.shape[0]
         keys = jax.random.split(rng, S)
 
-        def one(tok1, pos1, cache1, act1, pad1, key1, t1, k1, p1):
+        def one(tok1, pos1, cache1, act1, pad1, key1, t1, k1, p1, pen1,
+                seen1):
             logits, new_cache = modeling.forward(
                 params, tok1[None], cache1, cfg, qcfg, pos1[None],
                 mode="decode", impl=impl, pad_len=pad1[None])
@@ -156,13 +167,19 @@ class ContinuousBatcher:
                 lambda n, o: jnp.where(
                     act1.reshape((1,) * n.ndim), n, o),
                 new_cache, cache1)
+            # the consumed token joins the sequence before the penalty
+            # (engine/HF ordering)
+            seen1 = seen1.at[tok1[0]].set(True)
+            lg = sampling.apply_repetition_penalty_per_row(
+                logits[:, -1], seen1[None], pen1[None])
             nxt = sampling.sample_step_per_row(
-                logits[:, -1], key1, t1[None], k1[None], p1[None])[0]
-            return nxt, cache
+                lg, key1, t1[None], k1[None], p1[None])[0]
+            return nxt, cache, seen1
 
-        nxt, caches = jax.vmap(one)(
-            tok, pos, caches, active, pads, keys, temps, topks, topps)
-        return nxt, caches
+        nxt, caches, seen = jax.vmap(one)(
+            tok, pos, caches, active, pads, keys, temps, topks, topps,
+            pens, seen)
+        return nxt, caches, seen
 
     # -- host-side loop -----------------------------------------------------
 
@@ -197,12 +214,13 @@ class ContinuousBatcher:
             cache1 = jax.tree_util.tree_map(
                 lambda a: jnp.zeros(a.shape[1:], a.dtype), self.caches)
             self.rng, sub = jax.random.split(self.rng)
-            nxt, cache1 = self._prefills[bucket](
+            nxt, cache1, seen0 = self._prefills[bucket](
                 self.params, jnp.asarray([padded], jnp.int32), cache1,
                 jnp.asarray([pad], jnp.int32), sub,
                 jnp.asarray([req.temperature], jnp.float32),
                 jnp.asarray([req.top_k], jnp.int32),
-                jnp.asarray([req.top_p], jnp.float32))
+                jnp.asarray([req.top_p], jnp.float32),
+                jnp.asarray([req.repetition_penalty], jnp.float32))
             # write slot state
             self.caches = jax.tree_util.tree_map(
                 lambda big, one: jax.lax.dynamic_update_index_in_dim(
@@ -215,6 +233,9 @@ class ContinuousBatcher:
             self.temp_dev = self.temp_dev.at[slot].set(req.temperature)
             self.topk_dev = self.topk_dev.at[slot].set(req.top_k)
             self.topp_dev = self.topp_dev.at[slot].set(req.top_p)
+            self.pen_dev = self.pen_dev.at[slot].set(
+                req.repetition_penalty)
+            self.seen_dev = self.seen_dev.at[slot].set(seen0[0])
             self.active[slot] = True
             self.slot_req[slot] = req
             self.slot_out[slot] = [int(nxt[0])]
@@ -242,9 +263,10 @@ class ContinuousBatcher:
         if not self.active.any():
             return
         self.rng, sub = jax.random.split(self.rng)
-        nxt, self.caches = self._decode(
+        nxt, self.caches, self.seen_dev = self._decode(
             self.params, self.cur_tok, self.pos, self.caches, self.act_dev,
-            self.pad_dev, sub, self.temp_dev, self.topk_dev, self.topp_dev)
+            self.pad_dev, sub, self.temp_dev, self.topk_dev, self.topp_dev,
+            self.pen_dev, self.seen_dev)
         nxt_host = np.asarray(nxt)
         self.cur_tok = nxt[:, None]
         self.pos = self.pos + self.act_dev.astype(jnp.int32)[:, None]

@@ -368,19 +368,29 @@ class Engine:
         assert T + max_new_tokens <= self.max_seq_len, "cache too small"
         pad = (None if pad_lens is None
                else jnp.asarray(pad_lens, jnp.int32).reshape(B))
-        first, caches = self.prefill(tokens, pad_lens=pad)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        # the FIRST generated token goes through the same processor
+        # chain as the rest (HF applies penalty + warpers from token 0;
+        # argmax-ing the first token regardless of temperature was a
+        # silent HF deviation)
+        from kivi_tpu.serving import sampling
+        caches = self.init_caches()
+        logits, caches = self._prefill(self.params, tokens, caches, pad)
+        seen = None
+        if repetition_penalty != 1.0:
+            seen = sampling.seen_mask_from_prompt(
+                tokens, self.cfg.vocab_size, pad_len=pad)
+            logits = sampling.apply_repetition_penalty(
+                logits, seen, repetition_penalty)
+        rng, sub = jax.random.split(rng)
+        first = sampling.sample_step(logits, sub, temperature=temperature,
+                                     top_k=top_k, top_p=top_p)[:, None]
         if max_new_tokens == 1:
             return first[:n_real]
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
         # RoPE position of the first generated token = true length
         pos = jnp.full((B, 1), T, jnp.int32)
         if pad is not None:
             pos = pos - pad[:, None]
-        seen = None
-        if repetition_penalty != 1.0:
-            from kivi_tpu.serving import sampling
-            seen = sampling.seen_mask_from_prompt(
-                tokens, self.cfg.vocab_size, pad_len=pad)
         rest, caches = self._decode_scan(
             self.params, first, pos, caches, rng, pad,
             steps=max_new_tokens - 1, temperature=temperature,

@@ -38,6 +38,15 @@ def apply_repetition_penalty(logits: jax.Array, seen: jax.Array,
     return jnp.where(seen, penalized, logits)
 
 
+def apply_repetition_penalty_per_row(logits: jax.Array, seen: jax.Array,
+                                     penalty: jax.Array) -> jax.Array:
+    """Per-ROW penalty values (B,) — the batcher's variant; rows with
+    penalty == 1.0 are untouched by construction."""
+    pen = jnp.asarray(penalty, jnp.float32).reshape(-1, 1)
+    penalized = jnp.where(logits > 0, logits / pen, logits * pen)
+    return jnp.where(seen, penalized, logits)
+
+
 def apply_top_k(logits: jax.Array, top_k: int) -> jax.Array:
     """Keep the top_k largest logits per row (HF TopKLogitsWarper)."""
     if top_k <= 0 or top_k >= logits.shape[-1]:

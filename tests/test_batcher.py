@@ -138,3 +138,28 @@ def test_batcher_per_request_sampling():
     assert results[1].tokens == want1
     assert len(results[2].tokens) == 6
     assert all(0 <= t < CFG.vocab_size for t in results[2].tokens)
+
+
+def test_batcher_repetition_penalty_matches_engine():
+    """Greedy + repetition penalty is deterministic: batcher output must
+    equal the engine with the same penalty (both penalize from the
+    FIRST generated token, HF ordering)."""
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    prompt = list(np.random.RandomState(9).randint(
+        1, CFG.vocab_size, size=28))
+    pen = 1.8
+    bat = ContinuousBatcher(CFG, QCFG, params, num_slots=1,
+                            max_seq_len=MAX, prompt_buckets=BUCKETS)
+    got = bat.run([Request(uid=0, prompt=prompt, max_new_tokens=8,
+                           repetition_penalty=pen)])[0].tokens
+    pad = 32 - len(prompt)
+    eng = Engine(cfg=CFG, qcfg=QCFG, params=params, max_seq_len=MAX,
+                 batch_size=1)
+    want = [int(t) for t in np.asarray(eng.generate(
+        jnp.asarray([[0] * pad + prompt], jnp.int32), 8, pad_lens=[pad],
+        repetition_penalty=pen)[0])]
+    assert got == want, (got, want)
+    # (the penalty TRANSFORM's HF semantics are pinned separately in
+    # test_sampling.py; on a random-weight model a moderate penalty may
+    # not flip any greedy token, so no trajectory-change assertion here)

@@ -93,8 +93,17 @@ class ModelConfig:
     head_dim: int = 128
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
-    # Linear rope scaling factor (LongChat-7b-v1.5-32K uses 8.0).
+    # Rope scaling factor (LongChat-7b-v1.5-32K: linear 8.0; Llama-3.1:
+    # llama3 8.0).  Interpretation depends on rope_scaling_kind:
+    #   "linear": positions divided by the factor (HF "linear");
+    #   "llama3": frequency-dependent NTK scheme (HF "llama3") — low
+    #     frequencies divided by the factor, high frequencies kept,
+    #     smooth ramp between, controlled by the three fields below.
     rope_scaling: Optional[float] = None
+    rope_scaling_kind: str = "linear"
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
     # Mistral-style sliding window attention; None = full causal.
     sliding_window: Optional[int] = None
     tie_word_embeddings: bool = False
@@ -129,10 +138,17 @@ MISTRAL_7B = ModelConfig(
     max_position_embeddings=32768,
 )
 
+LLAMA31_8B = dataclasses.replace(
+    LLAMA3_8B, rope_scaling=8.0, rope_scaling_kind="llama3",
+    rope_low_freq_factor=1.0, rope_high_freq_factor=4.0,
+    rope_original_max_position=8192, max_position_embeddings=131072,
+)
+
 PRESETS = {
     "llama2-7b": LLAMA2_7B,
     "longchat-7b-32k": LONGCHAT_7B_32K,
     "llama3-8b": LLAMA3_8B,
+    "llama3.1-8b": LLAMA31_8B,
     "mistral-7b": MISTRAL_7B,
 }
 

@@ -25,9 +25,24 @@ from kivi_tpu.config import ModelConfig
 def config_from_hf(hf_cfg: Mapping) -> ModelConfig:
     """Map an HF config dict (llama/mistral style) to ModelConfig."""
     rope_scaling = None
+    rope_kind = "linear"
+    rope_lo, rope_hi, rope_orig = 1.0, 4.0, 8192
     rs = hf_cfg.get("rope_scaling")
-    if rs and rs.get("rope_type", rs.get("type")) == "linear":
-        rope_scaling = float(rs["factor"])
+    if rs:
+        kind = rs.get("rope_type", rs.get("type"))
+        if kind == "linear":
+            rope_scaling = float(rs["factor"])
+        elif kind == "llama3":
+            # Llama-3.1's frequency-dependent scheme (HF
+            # modeling_rope_utils._compute_llama3_parameters)
+            rope_scaling = float(rs["factor"])
+            rope_kind = "llama3"
+            rope_lo = float(rs.get("low_freq_factor", 1.0))
+            rope_hi = float(rs.get("high_freq_factor", 4.0))
+            rope_orig = int(rs.get("original_max_position_embeddings",
+                                   8192))
+        elif kind not in (None, "default"):
+            raise ValueError(f"unsupported rope_scaling type {kind!r}")
     n_heads = hf_cfg["num_attention_heads"]
     return ModelConfig(
         vocab_size=hf_cfg["vocab_size"],
@@ -41,6 +56,10 @@ def config_from_hf(hf_cfg: Mapping) -> ModelConfig:
         rms_norm_eps=hf_cfg.get("rms_norm_eps", 1e-5),
         rope_theta=hf_cfg.get("rope_theta", 10000.0),
         rope_scaling=rope_scaling,
+        rope_scaling_kind=rope_kind,
+        rope_low_freq_factor=rope_lo,
+        rope_high_freq_factor=rope_hi,
+        rope_original_max_position=rope_orig,
         sliding_window=hf_cfg.get("sliding_window"),
         tie_word_embeddings=hf_cfg.get("tie_word_embeddings", False),
         max_position_embeddings=hf_cfg.get("max_position_embeddings", 4096),

@@ -46,14 +46,36 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 
 def rope_cos_sin(positions: jax.Array, head_dim: int, theta: float,
-                 linear_scale: Optional[float] = None):
+                 linear_scale: Optional[float] = None, *,
+                 cfg: Optional[ModelConfig] = None):
     """positions (...,) i32 -> cos/sin (..., head_dim//2) f32 (HF
-    half-split convention: the two halves share the same angles)."""
+    half-split convention: the two halves share the same angles).
+
+    Scaling: `linear_scale` divides positions (HF "linear" — LongChat);
+    passing `cfg` with rope_scaling_kind == "llama3" instead applies the
+    frequency-dependent Llama-3.1 scheme (HF `_compute_llama3_parameters`
+    in modeling_rope_utils.py): wavelengths longer than
+    original_max/low_freq_factor are divided by the factor, shorter than
+    original_max/high_freq_factor kept, smooth ramp between."""
     half = head_dim // 2
     # inv_freq[i] = theta**(-2i/D), i in [0, D/2) — HF llama convention
     inv_freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
     pos = positions.astype(jnp.float32)
-    if linear_scale is not None:
+    if cfg is not None and cfg.rope_scaling is not None \
+            and cfg.rope_scaling_kind == "llama3":
+        factor = cfg.rope_scaling
+        lo_f, hi_f = cfg.rope_low_freq_factor, cfg.rope_high_freq_factor
+        orig = float(cfg.rope_original_max_position)
+        wavelen = 2.0 * jnp.pi / inv_freq
+        # long wavelengths scaled, short kept
+        scaled = jnp.where(wavelen > orig / lo_f, inv_freq / factor,
+                           inv_freq)
+        smooth = (orig / wavelen - lo_f) / (hi_f - lo_f)
+        smoothed = (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+        medium = jnp.logical_and(wavelen >= orig / hi_f,
+                                 wavelen <= orig / lo_f)
+        inv_freq = jnp.where(medium, smoothed, scaled)
+    elif linear_scale is not None:
         pos = pos / linear_scale
     ang = pos[..., None] * inv_freq  # (..., half)
     return jnp.cos(ang), jnp.sin(ang)
@@ -98,7 +120,8 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
     v = (x @ lp["wv"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
 
     # positions (B, T) -> cos/sin (B, 1, T, D/2), broadcast over heads
-    cos, sin = rope_cos_sin(positions, D, cfg.rope_theta, cfg.rope_scaling)
+    cos, sin = rope_cos_sin(positions, D, cfg.rope_theta, cfg.rope_scaling,
+                            cfg=cfg)
     cos, sin = cos[:, None, :, :], sin[:, None, :, :]
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)

@@ -119,6 +119,49 @@ def test_rope_linear_scaling_matches_hf():
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3, atol=2e-3)
 
 
+def test_rope_llama3_scaling_matches_hf():
+    """Llama-3.1's frequency-dependent rope scaling (the GSM8K/passkey
+    model in the reference's example.py) vs HF's
+    _compute_llama3_parameters."""
+    hf_cfg, model = tiny_hf_llama(
+        gqa=True, rope_scaling={
+            "rope_type": "llama3", "factor": 8.0,
+            "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 64})
+    cfg, params = to_ours(hf_cfg, model)
+    assert cfg.rope_scaling_kind == "llama3" and cfg.rope_scaling == 8.0
+    assert cfg.rope_original_max_position == 64
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=16,
+                       residual_length=16)
+    B, T = 1, 96   # run PAST original_max so the scaling matters
+    toks = np.random.default_rng(3).integers(0, 128, (B, T))
+    with torch.no_grad():
+        ref = model(torch.tensor(toks)).logits.numpy()
+    caches = modeling.init_caches(cfg, qcfg, B, 128, dtype=jnp.float32)
+    positions = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    logits, _ = modeling.forward(params, jnp.asarray(toks), caches, cfg,
+                                 qcfg, positions, mode="prefill")
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_rope_llama3_differs_from_unscaled():
+    """Guard against the scaling silently not applying: beyond the
+    original max position the scaled and unscaled angles must differ."""
+    from kivi_tpu.config import ModelConfig
+    base = dict(vocab_size=8, hidden_size=64, intermediate_size=64,
+                num_layers=1, num_heads=2, num_kv_heads=2, head_dim=32,
+                max_position_embeddings=256)
+    cfg_s = ModelConfig(**base, rope_scaling=8.0,
+                        rope_scaling_kind="llama3",
+                        rope_original_max_position=64)
+    pos = jnp.asarray([100])
+    cos_s, _ = modeling.rope_cos_sin(pos, 32, 10000.0, cfg_s.rope_scaling,
+                                     cfg=cfg_s)
+    cos_u, _ = modeling.rope_cos_sin(pos, 32, 10000.0)
+    assert float(jnp.max(jnp.abs(cos_s - cos_u))) > 1e-3
+
+
 def test_mistral_matches_hf():
     cfg_hf = MistralConfig(
         vocab_size=128, hidden_size=64, intermediate_size=128,

@@ -64,6 +64,28 @@ def fp_append(cache: FpLayerCache, k_new, v_new) -> FpLayerCache:
     )
 
 
+def fp_append_masked(cache: FpLayerCache, k_new, v_new,
+                     active=None) -> FpLayerCache:
+    """`fp_append` with a frozen-counter inactive mode (scalar `active`;
+    the continuous batcher vmaps this over slots).  Inactive rows still
+    write — at the frozen `length`, beyond the valid count, hence
+    invisible to attention — so the serving layer needs no tree-wide
+    where(active) select over the multi-GB fp stores."""
+    if active is None:
+        return fp_append(cache, k_new, v_new)
+    t = k_new.shape[-2]
+    act = jnp.asarray(active).reshape(())
+    off = cache.length
+    return FpLayerCache(
+        k=jax.lax.dynamic_update_slice(
+            cache.k, jnp.swapaxes(k_new, -1, -2).astype(cache.k.dtype),
+            (0, 0, 0, off)),
+        v=jax.lax.dynamic_update_slice(
+            cache.v, v_new.astype(cache.v.dtype), (0, 0, off, 0)),
+        length=off + t * act.astype(jnp.int32),
+    )
+
+
 def fp_decode_attention(q: jax.Array, cache: FpLayerCache,
                         sliding_window: Optional[int] = None,
                         impl: str = "jnp",

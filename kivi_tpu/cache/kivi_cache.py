@@ -268,6 +268,106 @@ def decode_append(cache: KiviLayerCache, k_new, v_new,
     )
 
 
+def _masked_store_write(store, block, start, pred):
+    """Slice write whose CONTENT falls back to the store's existing
+    bytes when pred is false: an unconditional dynamic-update-slice
+    that is a no-op write on non-flushing steps.  This is the
+    vmap-friendly replacement for `lax.cond(flush, ...)`: under vmap a
+    batched cond becomes a select over BOTH branch outputs — i.e. a
+    full-store copy per step per row — whereas this form's traffic is
+    O(block) always."""
+    old = jax.lax.dynamic_slice(store, start, block.shape)
+    return jax.lax.dynamic_update_slice(
+        store, jnp.where(pred, block, old), start)
+
+
+def decode_append_masked(cache: KiviLayerCache, k_new, v_new,
+                         qcfg: QuantConfig, impl: str = "jnp",
+                         active=None) -> KiviLayerCache:
+    """`decode_append` for DIVERGENT per-row state (the continuous
+    batcher vmaps this over slots, each with its own window phase).
+
+    Semantically identical to `decode_append(do_flush=True)` for
+    `active=True` rows; `active=False` rows freeze every counter, so
+    their writes land beyond the valid counts and stay invisible — the
+    serving layer needs no tree-wide where(active) select over the
+    caches (which would copy the full stores every step).
+
+    The flush `lax.cond`s are replaced by unconditional slice-sized
+    writes with selected content (`_masked_store_write`): the window is
+    quantized every step (O(W·D) — cheap) and non-flushing steps write
+    the store's own bytes back.  Per-step HBM traffic is O(window)
+    instead of the O(cache) a vmapped cond would cost.
+    """
+    W = qcfg.residual_length
+    vf = qcfg.value_flush
+    gs = qcfg.group_size
+    dtype = cache.k_win.dtype
+    act = (jnp.asarray(True) if active is None
+           else jnp.asarray(active).reshape(()))
+
+    # ---- K flush (masked): quantize the whole window, maybe keep ----
+    flush_k = jnp.logical_and(act, cache.n_k_win == W)
+    k_t = jnp.swapaxes(cache.k_win, -1, -2)
+    if impl == "pallas":
+        from kivi_tpu.kernels.quant_pack import quantize_pack_k
+        kc, ks, km = quantize_pack_k(k_t, gs, qcfg.k_bits)
+    else:
+        kc, ks, km = Q.quantize_k_block(k_t, gs, qcfg.k_bits)
+    off = cache.n_k_quant
+    sdt = cache.k_scale.dtype
+    cache = dataclasses.replace(
+        cache,
+        k_codes=_masked_store_write(cache.k_codes, kc, (0, 0, 0, off),
+                                    flush_k),
+        k_scale=_masked_store_write(cache.k_scale, ks.astype(sdt),
+                                    (0, 0, 0, off // gs), flush_k),
+        k_mn=_masked_store_write(cache.k_mn, km.astype(sdt),
+                                 (0, 0, 0, off // gs), flush_k),
+        n_k_quant=off + jnp.where(flush_k, W, 0),
+        n_k_win=jnp.where(flush_k, 0, cache.n_k_win),
+    )
+
+    # ---- V flush (masked): oldest v_flush tokens, window shift ----
+    flush_v = jnp.logical_and(act, cache.n_v_win == W)
+    oldest = cache.v_win[:, :, :vf, :]
+    if impl == "pallas":
+        from kivi_tpu.kernels.quant_pack import quantize_pack_v
+        vc, vs, vm = quantize_pack_v(jnp.swapaxes(oldest, -1, -2), gs,
+                                     qcfg.v_bits)
+    else:
+        vc, vs, vm = Q.quantize_v_block(oldest, gs, qcfg.v_bits)
+    voff = cache.n_v_quant
+    sdt = cache.v_scale.dtype
+    shifted = jnp.concatenate(
+        [cache.v_win[:, :, vf:, :],
+         jnp.zeros_like(cache.v_win[:, :, :vf, :])], axis=-2)
+    cache = dataclasses.replace(
+        cache,
+        v_codes=_masked_store_write(cache.v_codes, vc, (0, 0, 0, voff),
+                                    flush_v),
+        v_scale=_masked_store_write(cache.v_scale, vs.astype(sdt),
+                                    (0, 0, 0, voff), flush_v),
+        v_mn=_masked_store_write(cache.v_mn, vm.astype(sdt),
+                                 (0, 0, 0, voff), flush_v),
+        v_win=jnp.where(flush_v, shifted, cache.v_win),
+        n_v_quant=voff + jnp.where(flush_v, vf, 0),
+        n_v_win=cache.n_v_win - jnp.where(flush_v, vf, 0),
+    )
+
+    # ---- append: inactive rows' writes land at the (frozen) counters,
+    # beyond the valid count, hence invisible to attention ----
+    return dataclasses.replace(
+        cache,
+        k_win=jax.lax.dynamic_update_slice(
+            cache.k_win, k_new.astype(dtype), (0, 0, cache.n_k_win, 0)),
+        v_win=jax.lax.dynamic_update_slice(
+            cache.v_win, v_new.astype(dtype), (0, 0, cache.n_v_win, 0)),
+        n_k_win=cache.n_k_win + act.astype(jnp.int32),
+        n_v_win=cache.n_v_win + act.astype(jnp.int32),
+    )
+
+
 def reorder(cache, idx: jax.Array):
     """Select/permute batch rows: the beam-search cache reorder.
 

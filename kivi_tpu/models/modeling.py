@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from kivi_tpu.config import ModelConfig, QuantConfig
 from kivi_tpu.cache import kivi_cache as KC
 from kivi_tpu.cache.fp_cache import (FpLayerCache, fp_append,
-                                     fp_decode_attention, init_fp_cache)
+                                     fp_append_masked, fp_decode_attention,
+                                     init_fp_cache)
 from kivi_tpu.core.attention import decode_attention, prefill_attention
 
 LayerCache = Union[KC.KiviLayerCache, FpLayerCache]
@@ -109,7 +110,8 @@ def swiglu_mlp(x: jax.Array, wg, wu, wd) -> jax.Array:
 
 def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                      qcfg: QuantConfig, positions, *, mode: str,
-                     impl: str, flush: bool = True, pad_len=None
+                     impl: str, flush: bool = True, pad_len=None,
+                     active=None
                      ) -> Tuple[jax.Array, LayerCache]:
     """mode: 'prefill' (T tokens, cache must be empty) or 'decode' (T==1)."""
     B, T, _ = x.shape
@@ -144,13 +146,20 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
             cache = KC.prefill_ingest(cache, k, v, qcfg, impl)
     else:
         if isinstance(cache, FpLayerCache):
-            cache = fp_append(cache, k, v)
+            cache = (fp_append_masked(cache, k, v, active)
+                     if active is not None else fp_append(cache, k, v))
             out = fp_decode_attention(q, cache,
                                       sliding_window=cfg.sliding_window,
                                       impl=impl, pad_len=pad_len)
         else:
-            cache = KC.decode_append(cache, k, v, qcfg, impl,
-                                     do_flush=flush)
+            if active is not None:
+                # divergent per-row state (continuous batcher under
+                # vmap): masked slice writes, no cond machinery
+                cache = KC.decode_append_masked(cache, k, v, qcfg, impl,
+                                                active=active)
+            else:
+                cache = KC.decode_append(cache, k, v, qcfg, impl,
+                                         do_flush=flush)
             out = decode_attention(q, cache, qcfg, impl=impl,
                                    sliding_window=cfg.sliding_window,
                                    pad_len=pad_len)
@@ -160,10 +169,11 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
 
 
 def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl,
-                   flush=True, pad_len=None):
+                   flush=True, pad_len=None, active=None):
     h, cache = _attention_block(
         rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps), lp, cache, cfg, qcfg,
-        positions, mode=mode, impl=impl, flush=flush, pad_len=pad_len)
+        positions, mode=mode, impl=impl, flush=flush, pad_len=pad_len,
+        active=active)
     x = x + h
     x = x + swiglu_mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps),
                        lp["wg"], lp["wu"], lp["wd"])
@@ -179,7 +189,8 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             impl: str = "jnp",
             last_only: bool = False,
             flush: bool = True,
-            pad_len: Optional[jax.Array] = None) -> Tuple[jax.Array, Any]:
+            pad_len: Optional[jax.Array] = None,
+            active: Optional[jax.Array] = None) -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 ROPE positions (for
     left-padded rows: cache index minus pad_len, clamped at 0).
 
@@ -211,7 +222,8 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
         lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
         x, caches[i] = _decoder_layer(x, lp, caches[i], cfg, qcfg,
                                       positions, mode=mode, impl=impl,
-                                      flush=flush, pad_len=pad_len)
+                                      flush=flush, pad_len=pad_len,
+                                      active=active)
     if last_only:
         x = x[:, -1:, :]
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)

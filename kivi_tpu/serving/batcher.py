@@ -10,10 +10,14 @@ active slots together every iteration.
 Design:
   * The stacked caches carry a SLOT axis where the engine has a batch
     axis; per-slot counters come from `jax.vmap` over the single-request
-    cache update (`decode_append`'s flush `lax.cond`s become `select`s
-    under vmap — both branches are computed for every slot every step,
-    the price of divergent per-slot window phases; revisit with a fused
-    kernel if it shows up in profiles).
+    MASKED cache update (`decode_append_masked`): divergent per-slot
+    window phases make flushes data-dependent, but instead of
+    `lax.cond` (which vmap turns into a select over both full-store
+    branch outputs — a cache copy per slot per step) the flush is an
+    unconditional slice-sized write whose content falls back to the
+    store's existing bytes on non-flushing steps.  Inactive slots
+    freeze their counters, so retirement needs no tree-wide
+    where(active) select either.
   * Admission: a new request is prefilled alone (per-prompt-length
     bucketed jit) and its cache state is written into the free slot via
     tree-wide dynamic_update at the slot index.
@@ -159,14 +163,15 @@ class ContinuousBatcher:
 
         def one(tok1, pos1, cache1, act1, pad1, key1, t1, k1, p1, pen1,
                 seen1):
-            logits, new_cache = modeling.forward(
+            # masked-append decode: flushes are slice-sized selected
+            # writes (cache/kivi_cache.decode_append_masked) and
+            # inactive slots freeze their counters, so neither the
+            # flush cond nor an activity select ever copies a full
+            # store — per-step cache traffic stays O(window) per slot.
+            logits, cache = modeling.forward(
                 params, tok1[None], cache1, cfg, qcfg, pos1[None],
-                mode="decode", impl=impl, pad_len=pad1[None])
-            # inactive slots keep their old cache (masked select)
-            cache = jax.tree_util.tree_map(
-                lambda n, o: jnp.where(
-                    act1.reshape((1,) * n.ndim), n, o),
-                new_cache, cache1)
+                mode="decode", impl=impl, pad_len=pad1[None],
+                active=act1)
             # the consumed token joins the sequence before the penalty
             # (engine/HF ordering)
             seen1 = seen1.at[tok1[0]].set(True)

@@ -65,6 +65,47 @@ def test_decode_append_flush_cadence():
     assert int(cache.n_k_win) == 16
 
 
+def test_decode_append_masked_matches_cond():
+    """decode_append_masked (the batcher's vmap-friendly form) must be
+    bit-identical to decode_append for active rows across several flush
+    boundaries, and freeze ALL state for inactive rows."""
+    qcfg = make_qcfg()  # gs=16, W=32
+    B, H, D, Tmax = 1, 2, 32, 256
+    c_cond = KC.init_layer_cache(B, H, D, Tmax, qcfg)
+    c_mask = KC.init_layer_cache(B, H, D, Tmax, qcfg)
+    key = jax.random.PRNGKey(5)
+    step_c = jax.jit(lambda c, k, v: KC.decode_append(c, k, v, qcfg))
+    step_m = jax.jit(lambda c, k, v, a: KC.decode_append_masked(
+        c, k, v, qcfg, active=a))
+    on = jnp.asarray(True)
+    for t in range(80):  # two K flushes, three V flushes
+        kv = jax.random.normal(jax.random.fold_in(key, t), (2, B, H, 1, D))
+        c_cond = step_c(c_cond, kv[0], kv[1])
+        c_mask = step_m(c_mask, kv[0], kv[1], on)
+    for a, b in zip(jax.tree_util.tree_leaves(c_cond),
+                    jax.tree_util.tree_leaves(c_mask)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # inactive: counters frozen, valid state untouched
+    frozen = c_mask
+    off = jnp.asarray(False)
+    kv = jax.random.normal(jax.random.fold_in(key, 999), (2, B, H, 1, D))
+    after = step_m(frozen, kv[0], kv[1], off)
+    assert int(after.n_k_win) == int(frozen.n_k_win)
+    assert int(after.n_v_win) == int(frozen.n_v_win)
+    assert int(after.n_k_quant) == int(frozen.n_k_quant)
+    assert int(after.n_v_quant) == int(frozen.n_v_quant)
+    # stores and the VALID window prefix are bit-identical
+    np.testing.assert_array_equal(np.asarray(after.k_codes),
+                                  np.asarray(frozen.k_codes))
+    np.testing.assert_array_equal(np.asarray(after.v_codes),
+                                  np.asarray(frozen.v_codes))
+    nkw = int(frozen.n_k_win)
+    np.testing.assert_array_equal(
+        np.asarray(after.k_win[:, :, :nkw]),
+        np.asarray(frozen.k_win[:, :, :nkw]))
+
+
 def _exact_reference(q_all, k_all, v_all, t):
     """Exact fp attention for query at position t over tokens [0, t]."""
     att = np.einsum("hd,hkd->hk", q_all[:, t], k_all[:, : t + 1])

@@ -224,14 +224,17 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         # Mosaic lane-tile, or the full Tg when Tg < 128): resident
         # scale VMEM and per-chunk select cost are context-length-
         # independent, so the head fold and chunk math that win at 4K
-        # stay identical at 32K.  Two-stage group->token expansion as
-        # before: a direct (Sg, C) one-hot dot costs nb*Sg*C per
-        # j-block; selecting the chunk's cg groups first drops it to
-        # nb*(Sg*cg + cg*C).
+        # stay identical at 32K.  The chunk's group->token expansion is
+        # ONE fused one-hot (Sg, C) dot: although its MAC count
+        # (nb*Sg*C) exceeds the two-stage select-then-expand form
+        # (nb*(Sg*cg + cg*C)), the MXU pass count is LOWER — Sg = 128
+        # fills exactly one contraction tile, so the fused dot is
+        # ceil(nb/128)*ceil(C/128) passes where the two-stage form pays
+        # the same for the expand PLUS ceil(nb/128) for the select
+        # (whose cg<<128 output lanes pad to a full tile anyway).
         Sg = km_ref.shape[-1]
-        sel_t = (_iota((Sg, cg), 0)
-                 == (it * cg) % Sg + _iota((Sg, cg), 1)).astype(cdt)
-        Egl = (_iota((cg, C), 0) == _iota((cg, C), 1) // gs).astype(cdt)
+        sel_e = (_iota((Sg, C), 0)
+                 == (it * cg) % Sg + _iota((Sg, C), 1) // gs).astype(cdt)
 
         # zp logits are cached PER SUPERBLOCK: the (HR, HD) x (HD, Sg)
         # projection runs once per Sg-group block (== once per program
@@ -245,8 +248,7 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
                                  km_ref[0].reshape(HD, Sg).astype(cdt),
                                  **kw)
 
-        qzp_sel = jnp.dot(qzp_scr[:].astype(cdt), sel_t, **kw)
-        s = jnp.dot(qzp_sel.astype(cdt), Egl, **kw)          # zp term
+        s = jnp.dot(qzp_scr[:].astype(cdt), sel_e, **kw)     # zp term
         nb = Hkv * kdw2
         # scaled values for all j-blocks concatenated, ONE QK dot over
         # the full (HR, HD) x (HD, C) contraction
@@ -259,8 +261,7 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             vals_j = vals_j - cdt(1.0)   # exact c/F; see _init note
             sblk = ks_ref[0, :, j * kdw2:(j + 1) * kdw2, :]
             sblk = sblk.reshape(nb, Sg).astype(cdt) * cdt(Fk)
-            ssel_j = jnp.dot(sblk, sel_t, **kw).astype(cdt)  # (nb, cg)
-            sexp_j = jnp.dot(ssel_j, Egl, **kw).astype(cdt)
+            sexp_j = jnp.dot(sblk, sel_e, **kw).astype(cdt)  # (nb, C)
             vs_parts.append(vals_j * sexp_j)
         vsc = jnp.concatenate(vs_parts, axis=0)              # (HD, C)
         s += jnp.dot(qbd_scr[:].astype(cdt), vsc, **kw)

@@ -86,6 +86,50 @@ def fp_append_masked(cache: FpLayerCache, k_new, v_new,
     )
 
 
+def fp_extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
+                        cache: FpLayerCache,
+                        sliding_window: Optional[int] = None) -> jax.Array:
+    """Multi-token continuation attention over the fp cache: T1 suffix
+    queries attend the cached history [0, length) plus themselves
+    causally (the fp-baseline twin of core.attention.extend_attention,
+    so prefix caching can be A/B'd against the fp16-cache baseline).
+
+    q: (B, Hq, T1, D); k_new/v_new: (B, Hkv, T1, D) NOT yet appended.
+    Returns (B, Hq, T1, D) f32."""
+    B, Hq, T1, D = q.shape
+    Hkv = cache.k.shape[1]
+    r = Hq // Hkv
+    Tmax = cache.max_seq_len
+    T0 = cache.length
+    qg = q.reshape(B, Hkv, r, T1, D).astype(jnp.float32)
+
+    att_h = jnp.einsum("bhrqd,bhdt->bhrqt", qg,
+                       cache.k.astype(jnp.float32))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, Tmax), 4)
+    att_h = jnp.where(pos < T0, att_h, -1e30)
+
+    att_s = jnp.einsum("bhrqd,bhjd->bhrqj", qg,
+                       k_new.astype(jnp.float32))
+    qi = jax.lax.broadcasted_iota(jnp.int32, (T1, T1), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (T1, T1), 1)
+    att_s = jnp.where(kj <= qi, att_s, -1e30)
+
+    if sliding_window is not None:
+        lo = (T0 + jnp.arange(T1, dtype=jnp.int32)
+              - (sliding_window - 1)).reshape(1, 1, 1, T1, 1)
+        att_h = jnp.where(pos >= lo, att_h, -1e30)
+        att_s = jnp.where(kj.reshape(1, 1, 1, T1, T1) + T0 >= lo,
+                          att_s, -1e30)
+
+    att = jnp.concatenate([att_h, att_s], axis=-1) / (D ** 0.5)
+    p = jax.nn.softmax(att.astype(jnp.float32), axis=-1)
+    out_h = jnp.einsum("bhrqt,bhtd->bhrqd", p[..., :Tmax],
+                       cache.v.astype(jnp.float32))
+    out_s = jnp.einsum("bhrqj,bhjd->bhrqd", p[..., Tmax:],
+                       v_new.astype(jnp.float32))
+    return (out_h + out_s).reshape(B, Hq, T1, D)
+
+
 def fp_decode_attention(q: jax.Array, cache: FpLayerCache,
                         sliding_window: Optional[int] = None,
                         impl: str = "jnp",

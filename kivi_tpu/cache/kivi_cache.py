@@ -207,6 +207,78 @@ def prefill_ingest(cache: KiviLayerCache, k, v,
     return cache
 
 
+def prefill_extend(cache: KiviLayerCache, k, v, qcfg: QuantConfig,
+                   prev_len: int, impl: str = "jnp") -> KiviLayerCache:
+    """Continue prefill: ingest a suffix's post-RoPE K/V (B, H, T1, D)
+    into a cache already holding `prev_len` tokens (STATIC int — the
+    cache must come from `prefill_ingest`/`prefill_extend` of exactly
+    that length, so the split arithmetic is compile-time known).
+
+    End state is BIT-IDENTICAL to `prefill_ingest` of the full
+    prev_len+T1 prompt when the window dtype equals the activation
+    dtype (the window round-trips bf16->bf16 losslessly): quantization
+    blocks and group boundaries depend only on absolute token position,
+    so re-quantizing window tokens together with suffix tokens yields
+    the same codes the one-shot path would.  This is the cache half of
+    prefix caching / chunked prefill — the reference has no equivalent
+    (its prefill is all-or-nothing, `models/llama_kivi.py:420-452`).
+    """
+    W = qcfg.residual_length
+    vf = qcfg.value_flush
+    T1 = k.shape[-2]
+    T0, T = prev_len, prev_len + T1
+    assert T <= cache.max_seq_len
+    dtype = cache.k_win.dtype
+
+    # ---- keys: quantize in W-blocks spanning old window + suffix ----
+    wk0 = T0 % W                       # tokens currently in the window
+    tail_k = (jnp.concatenate(
+        [cache.k_win[:, :, :wk0, :].astype(k.dtype), k], axis=-2)
+        if wk0 else k)
+    nq_new = ((wk0 + T1) // W) * W
+    if nq_new:
+        cache = _append_k_quant(cache, tail_k[:, :, :nq_new, :], qcfg,
+                                nq_new, impl)
+    wk1 = wk0 + T1 - nq_new            # == T % W
+    win = jnp.zeros_like(cache.k_win)
+    if wk1:
+        win = jax.lax.dynamic_update_slice(
+            win, tail_k[:, :, nq_new:, :].astype(dtype), (0, 0, 0, 0))
+    cache = dataclasses.replace(cache, k_win=win, n_k_win=jnp.int32(wk1))
+
+    # ---- values: vf-aligned quantized count, as in prefill_ingest ----
+    nvq0 = 0 if T0 <= W else ((T0 - W + vf - 1) // vf) * vf
+    nvw0 = T0 - nvq0
+    tail_v = (jnp.concatenate(
+        [cache.v_win[:, :, :nvw0, :].astype(v.dtype), v], axis=-2)
+        if nvw0 else v)
+    nvq = 0 if T <= W else ((T - W + vf - 1) // vf) * vf
+    dq = nvq - nvq0
+    if dq:
+        cache = _append_v_quant(cache, tail_v[:, :, :dq, :], qcfg, dq,
+                                impl)
+    nvw1 = T - nvq
+    vwin = jnp.zeros_like(cache.v_win)
+    if nvw1:
+        vwin = jax.lax.dynamic_update_slice(
+            vwin, tail_v[:, :, dq:, :].astype(dtype), (0, 0, 0, 0))
+    return dataclasses.replace(cache, v_win=vwin,
+                               n_v_win=jnp.int32(nvw1))
+
+
+def broadcast_rows(cache, batch: int):
+    """Tile a batch-1 cache pytree to `batch` rows (prefix-cache fan-out:
+    one prefilled prefix shared by a whole generation batch).  Works on
+    any layer-cache pytree; 0-d counters pass through.  The quantized
+    stores make this copy 4-8x cheaper in HBM than an fp16 prefix."""
+    # 0-d counters are COPIED (not passed through): callers hand the
+    # result to donating jits, which must not invalidate the source's
+    # counter buffers
+    rep = lambda x: (jnp.repeat(x, batch, axis=0)
+                     if getattr(x, "ndim", 0) > 0 else x.copy())
+    return jax.tree_util.tree_map(rep, cache)
+
+
 # ---------------------------------------------------------------------------
 # decode append (reference `models/llama_kivi.py:333-399` state machine)
 # ---------------------------------------------------------------------------

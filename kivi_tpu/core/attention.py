@@ -193,6 +193,102 @@ def _gather_v_window_probs(p_a, p_b, cache: KiviLayerCache, W: int):
     return a_part + b_part[..., :W]
 
 
+def extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
+                     cache: KiviLayerCache, qcfg: QuantConfig, *,
+                     impl: str = "jnp",
+                     sliding_window: Optional[int] = None) -> jax.Array:
+    """Multi-token continuation attention: T1 suffix queries attend the
+    full cached history (quantized stores + fp windows) plus themselves
+    causally.  The chunked-prefill / prefix-cache attention step; the
+    reference's prefill is all-or-nothing exact attention
+    (`models/llama_kivi.py:420-452`), so this path has no counterpart.
+
+    q: (B, Hq, T1, D); k_new/v_new: (B, Hkv, T1, D) post-RoPE, NOT yet
+    appended to the cache.  Returns (B, Hq, T1, D) f32.  Every history
+    position precedes every suffix position, so causality only
+    constrains the self part.  impl="pallas" runs the two dequant
+    contractions through the split kernels with the (r, T1) rows folded;
+    logits are O(T1 * Tmax) in HBM (a flash-style extend megakernel is
+    a known frontier, not needed for prefix-sized suffixes).
+    """
+    B, Hq, T1, D = q.shape
+    Hkv = cache.k_win.shape[1]
+    r = Hq // Hkv
+    Tmax = cache.max_seq_len
+    W = qcfg.residual_length
+    sm_scale = 1.0 / (D ** 0.5)
+    T0 = cache.seq_len                                   # traced i32
+
+    qg = q.reshape(B, Hkv, r, T1, D).astype(jnp.float32)
+
+    # ---- QK^T: quantized half (rows folded for the kernel) -----------
+    pos_q = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, Tmax), 4)
+    if impl == "pallas":
+        from kivi_tpu.kernels import qk_dequant_matmul
+        att_q = qk_dequant_matmul(
+            qg.reshape(B, Hkv, r * T1, D), cache.k_codes, cache.k_scale,
+            cache.k_mn, qcfg.group_size, qcfg.k_bits,
+            n_quant=cache.n_k_quant).reshape(B, Hkv, r, T1, Tmax)
+    else:
+        k_deq = Q.dequantize_k(cache.k_codes, cache.k_scale, cache.k_mn,
+                               qcfg.group_size, qcfg.k_bits)
+        att_q = jnp.einsum("bhrqd,bhdt->bhrqt", qg, k_deq)
+        att_q = jnp.where(pos_q < cache.n_k_quant, att_q, NEG_INF)
+
+    # ---- QK^T: fp window half ----------------------------------------
+    win_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, W), 4)
+    att_w = jnp.einsum("bhrqd,bhwd->bhrqw", qg,
+                       cache.k_win.astype(jnp.float32))
+    att_w = jnp.where(win_w < cache.n_k_win, att_w, NEG_INF)
+
+    # ---- QK^T: causal self half ----------------------------------------
+    att_s = jnp.einsum("bhrqd,bhjd->bhrqj", qg,
+                       k_new.astype(jnp.float32))
+    qi = jax.lax.broadcasted_iota(jnp.int32, (T1, T1), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (T1, T1), 1)
+    att_s = jnp.where(kj <= qi, att_s, NEG_INF)
+
+    if sliding_window is not None:
+        # query i sits at position T0 + i and attends positions
+        # > T0 + i - sliding_window across all three halves
+        lo = (T0 + jnp.arange(T1, dtype=jnp.int32)
+              - (sliding_window - 1)).reshape(1, 1, 1, T1, 1)
+        att_q = jnp.where(pos_q >= lo, att_q, NEG_INF)
+        att_w = jnp.where(win_w + cache.n_k_quant >= lo, att_w, NEG_INF)
+        att_s = jnp.where(kj.reshape(1, 1, 1, T1, T1) + T0 >= lo,
+                          att_s, NEG_INF)
+
+    # ---- softmax over the concatenation (fp32) -------------------------
+    att = jnp.concatenate([att_q, att_w, att_s], axis=-1) * sm_scale
+    att = att - jax.lax.stop_gradient(jnp.max(att, axis=-1, keepdims=True))
+    p = jnp.exp(att)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p_a = p[..., :Tmax]
+    p_b = p[..., Tmax:Tmax + W]
+    p_s = p[..., Tmax + W:]
+
+    # ---- PV: quantized half --------------------------------------------
+    p_vq = jnp.where(pos_q < cache.n_v_quant, p_a, 0.0)
+    if impl == "pallas":
+        from kivi_tpu.kernels import pv_dequant_matmul
+        out_q = pv_dequant_matmul(
+            p_vq.reshape(B, Hkv, r * T1, Tmax), cache.v_codes,
+            cache.v_scale, cache.v_mn, qcfg.group_size, qcfg.v_bits,
+            n_quant=cache.n_v_quant).reshape(B, Hkv, r, T1, D)
+    else:
+        v_deq = Q.dequantize_v(cache.v_codes, cache.v_scale, cache.v_mn,
+                               qcfg.group_size, qcfg.v_bits)
+        out_q = jnp.einsum("bhrqt,bhtd->bhrqd", p_vq, v_deq)
+
+    # ---- PV: fp window half (position-routed) + self half --------------
+    p_vw = _gather_v_window_probs(p_a, p_b, cache, W)
+    out_w = jnp.einsum("bhrqw,bhwd->bhrqd", p_vw,
+                       cache.v_win.astype(jnp.float32))
+    out_s = jnp.einsum("bhrqj,bhjd->bhrqd", p_s,
+                       v_new.astype(jnp.float32))
+    return (out_q + out_w + out_s).reshape(B, Hq, T1, D)
+
+
 def prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                       *, sliding_window: Optional[int] = None,
                       impl: str = "jnp",

@@ -30,8 +30,9 @@ from kivi_tpu.config import ModelConfig, QuantConfig
 from kivi_tpu.cache import kivi_cache as KC
 from kivi_tpu.cache.fp_cache import (FpLayerCache, fp_append,
                                      fp_append_masked, fp_decode_attention,
-                                     init_fp_cache)
-from kivi_tpu.core.attention import decode_attention, prefill_attention
+                                     fp_extend_attention, init_fp_cache)
+from kivi_tpu.core.attention import (decode_attention, extend_attention,
+                                     prefill_attention)
 
 LayerCache = Union[KC.KiviLayerCache, FpLayerCache]
 
@@ -111,9 +112,11 @@ def swiglu_mlp(x: jax.Array, wg, wu, wd) -> jax.Array:
 def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                      qcfg: QuantConfig, positions, *, mode: str,
                      impl: str, flush: bool = True, pad_len=None,
-                     active=None
+                     active=None, prev_len: int = 0
                      ) -> Tuple[jax.Array, LayerCache]:
-    """mode: 'prefill' (T tokens, cache must be empty) or 'decode' (T==1)."""
+    """mode: 'prefill' (T tokens, cache must be empty), 'decode' (T==1),
+    or 'extend' (T suffix tokens onto a cache holding prev_len — STATIC —
+    tokens: chunked prefill / prefix caching)."""
     B, T, _ = x.shape
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -144,6 +147,20 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
             cache = fp_append(cache, k, v)
         else:
             cache = KC.prefill_ingest(cache, k, v, qcfg, impl)
+    elif mode == "extend":
+        # attention reads the PRE-extension cache; pads can't sit at the
+        # row front once a real prefix precedes the suffix, so ragged
+        # suffixes aren't representable here (callers pass equal-length
+        # suffixes per extend call)
+        assert pad_len is None and active is None
+        if isinstance(cache, FpLayerCache):
+            out = fp_extend_attention(q, k, v, cache,
+                                      sliding_window=cfg.sliding_window)
+            cache = fp_append(cache, k, v)
+        else:
+            out = extend_attention(q, k, v, cache, qcfg, impl=impl,
+                                   sliding_window=cfg.sliding_window)
+            cache = KC.prefill_extend(cache, k, v, qcfg, prev_len, impl)
     else:
         if isinstance(cache, FpLayerCache):
             cache = (fp_append_masked(cache, k, v, active)
@@ -169,11 +186,11 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
 
 
 def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl,
-                   flush=True, pad_len=None, active=None):
+                   flush=True, pad_len=None, active=None, prev_len=0):
     h, cache = _attention_block(
         rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps), lp, cache, cfg, qcfg,
         positions, mode=mode, impl=impl, flush=flush, pad_len=pad_len,
-        active=active)
+        active=active, prev_len=prev_len)
     x = x + h
     x = x + swiglu_mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps),
                        lp["wg"], lp["wu"], lp["wd"])
@@ -190,7 +207,8 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             last_only: bool = False,
             flush: bool = True,
             pad_len: Optional[jax.Array] = None,
-            active: Optional[jax.Array] = None) -> Tuple[jax.Array, Any]:
+            active: Optional[jax.Array] = None,
+            prev_len: int = 0) -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 ROPE positions (for
     left-padded rows: cache index minus pad_len, clamped at 0).
 
@@ -223,7 +241,7 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
         x, caches[i] = _decoder_layer(x, lp, caches[i], cfg, qcfg,
                                       positions, mode=mode, impl=impl,
                                       flush=flush, pad_len=pad_len,
-                                      active=active)
+                                      active=active, prev_len=prev_len)
     if last_only:
         x = x[:, -1:, :]
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)

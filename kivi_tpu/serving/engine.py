@@ -26,6 +26,23 @@ from kivi_tpu.models import modeling
 
 
 @dataclasses.dataclass
+class PrefixSnapshot:
+    """A prefilled shared prompt prefix: batch-1 per-layer caches plus
+    the prefix token ids (kept for the repetition-penalty seen-mask).
+    Produced by `Engine.prefill_prefix`, consumed by
+    `Engine.generate(..., prefix=)`.  The KIVI stores make the snapshot
+    4-8x smaller in HBM than an fp16 prefix, which is what makes
+    holding many cached prefixes viable."""
+
+    caches: list
+    tokens: jax.Array            # (1, T0) i32
+
+    @property
+    def length(self) -> int:
+        return self.tokens.shape[1]
+
+
+@dataclasses.dataclass
 class Engine:
     cfg: ModelConfig
     qcfg: QuantConfig
@@ -54,6 +71,10 @@ class Engine:
             functools.partial(self._decode_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
             donate_argnums=(3,))
+        self._extend = _jit(
+            functools.partial(self._extend_fn, cfg=self.cfg,
+                              qcfg=self.qcfg, impl=self.impl),
+            static_argnames=("prev_len",), donate_argnums=(2,))
         self._decode_scan_jit = _jit(
             functools.partial(self._decode_scan_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
@@ -110,6 +131,19 @@ class Engine:
         logits, caches = modeling.forward(
             params, tokens, caches, cfg, qcfg, positions,
             mode="prefill", impl=impl, last_only=True, pad_len=pad)
+        return logits[:, -1, :], caches
+
+    @staticmethod
+    def _extend_fn(params, tokens, caches, *, prev_len, cfg, qcfg, impl):
+        """Chunked-prefill step: tokens (B, T1) continue a cache that
+        already holds prev_len (STATIC) tokens; positions are the true
+        indices prev_len..prev_len+T1."""
+        B, T1 = tokens.shape
+        positions = jnp.broadcast_to(
+            prev_len + jnp.arange(T1, dtype=jnp.int32), (B, T1))
+        logits, caches = modeling.forward(
+            params, tokens, caches, cfg, qcfg, positions, mode="extend",
+            impl=impl, last_only=True, prev_len=prev_len)
         return logits[:, -1, :], caches
 
     @staticmethod
@@ -318,6 +352,33 @@ class Engine:
         return modeling.init_caches(self.cfg, self.qcfg, self.batch_size,
                                     self.max_seq_len, self.cache_dtype)
 
+    def prefill_prefix(self, tokens: jax.Array) -> PrefixSnapshot:
+        """Prefill a shared prompt prefix ONCE at batch 1 and snapshot
+        the resulting caches.  tokens: (T0,) or (1, T0).  The snapshot
+        plugs into `generate(..., prefix=)`, which broadcasts it across
+        the batch and prefills only each request's suffix — the prefill
+        FLOPs and HBM for the shared prefix are paid once per prefix,
+        not once per request.  Chain `extend()` for multi-turn reuse."""
+        tokens = jnp.asarray(tokens, jnp.int32).reshape(1, -1)
+        caches = modeling.init_caches(self.cfg, self.qcfg, 1,
+                                      self.max_seq_len, self.cache_dtype)
+        _, caches = self._prefill(self.params, tokens, caches, None)
+        return PrefixSnapshot(caches=caches, tokens=tokens)
+
+    def extend(self, snapshot: PrefixSnapshot,
+               tokens: jax.Array) -> PrefixSnapshot:
+        """Grow a prefix snapshot by more shared tokens (multi-turn
+        conversation prefixes).  tokens: (T1,) or (1, T1)."""
+        tokens = jnp.asarray(tokens, jnp.int32).reshape(1, -1)
+        # donated input: hand the jit a copy so the snapshot stays live
+        caches = jax.tree_util.tree_map(lambda x: x.copy(),
+                                        snapshot.caches)
+        _, caches = self._extend(self.params, tokens, caches,
+                                 prev_len=snapshot.length)
+        return PrefixSnapshot(
+            caches=caches,
+            tokens=jnp.concatenate([snapshot.tokens, tokens], axis=1))
+
     def prefill(self, tokens: jax.Array, caches=None, pad_lens=None):
         """tokens (B, T), LEFT-padded by pad_lens (B,) slots per row
         (None = no padding).  Returns (next_token (B,1), caches)."""
@@ -342,7 +403,8 @@ class Engine:
                  rng: Optional[jax.Array] = None,
                  pad_lens=None,
                  top_k: int = 0, top_p: float = 1.0,
-                 repetition_penalty: float = 1.0) -> jax.Array:
+                 repetition_penalty: float = 1.0,
+                 prefix: Optional[PrefixSnapshot] = None) -> jax.Array:
         """Greedy/sampled generation.  tokens (B, T) -> (B, max_new_tokens).
 
         The whole decode loop runs device-side; EOS handling pads after
@@ -352,6 +414,14 @@ class Engine:
         count); a batch smaller than the engine's batch_size is topped
         up with copies of the last row and the extras are dropped.
         Sampling controls follow HF semantics (see serving/sampling.py).
+
+        prefix: a `prefill_prefix` snapshot of a SHARED prompt prefix —
+        tokens are then each request's suffix only (equal length,
+        unpadded: pads can't sit at the row front once a real prefix
+        precedes them).  The snapshot is broadcast across the batch and
+        only the suffix is prefilled.  Suffix tokens attend the
+        QUANTIZED prefix (a one-shot prefill would see it exact) —
+        same accuracy class as any post-window token at decode.
         """
         B, T = tokens.shape
         n_real = B
@@ -365,7 +435,10 @@ class Engine:
                                self.batch_size - B)])
             B = self.batch_size
         assert B == self.batch_size
-        assert T + max_new_tokens <= self.max_seq_len, "cache too small"
+        Tp = T if prefix is None else prefix.length + T  # full prompt len
+        assert Tp + max_new_tokens <= self.max_seq_len, "cache too small"
+        if prefix is not None:
+            assert pad_lens is None, "prefix + ragged suffixes unsupported"
         pad = (None if pad_lens is None
                else jnp.asarray(pad_lens, jnp.int32).reshape(B))
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -374,12 +447,22 @@ class Engine:
         # argmax-ing the first token regardless of temperature was a
         # silent HF deviation)
         from kivi_tpu.serving import sampling
-        caches = self.init_caches()
-        logits, caches = self._prefill(self.params, tokens, caches, pad)
+        from kivi_tpu.cache.kivi_cache import broadcast_rows
+        if prefix is None:
+            caches = self.init_caches()
+            logits, caches = self._prefill(self.params, tokens, caches, pad)
+            full_tokens = tokens
+        else:
+            caches = [broadcast_rows(c, B) for c in prefix.caches]
+            logits, caches = self._extend(self.params, tokens, caches,
+                                          prev_len=prefix.length)
+            full_tokens = jnp.concatenate(
+                [jnp.broadcast_to(prefix.tokens, (B, prefix.length)),
+                 tokens], axis=1)
         seen = None
         if repetition_penalty != 1.0:
             seen = sampling.seen_mask_from_prompt(
-                tokens, self.cfg.vocab_size, pad_len=pad)
+                full_tokens, self.cfg.vocab_size, pad_len=pad)
             logits = sampling.apply_repetition_penalty(
                 logits, seen, repetition_penalty)
         rng, sub = jax.random.split(rng)
@@ -388,13 +471,13 @@ class Engine:
         if max_new_tokens == 1:
             return first[:n_real]
         # RoPE position of the first generated token = true length
-        pos = jnp.full((B, 1), T, jnp.int32)
+        pos = jnp.full((B, 1), Tp, jnp.int32)
         if pad is not None:
             pos = pos - pad[:, None]
         rest, caches = self._decode_scan(
             self.params, first, pos, caches, rng, pad,
             steps=max_new_tokens - 1, temperature=temperature,
-            prompt_len=T, top_k=top_k, top_p=top_p,
+            prompt_len=Tp, top_k=top_k, top_p=top_p,
             repetition_penalty=repetition_penalty, seen=seen)
         out = jnp.concatenate([first, rest], axis=1)[:n_real]
         if eos_token_id is not None:

@@ -1,0 +1,353 @@
+"""Prefix caching / chunked prefill (extend-mode) tests.
+
+The reference's prefill is all-or-nothing exact attention
+(`/root/reference/models/llama_kivi.py:420-452`); `prefill_extend` /
+`extend_attention` / `Engine.prefill_prefix` add chunked continuation on
+top of the quantized cache.  The load-bearing invariant: extending a
+cache holding T0 tokens by a T1 suffix must land in EXACTLY the state a
+one-shot ingest of all T0+T1 tokens produces (quantization blocks and
+group boundaries depend only on absolute position), so shared-prefix
+snapshots are indistinguishable from a full prefill downstream.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kivi_tpu.cache import kivi_cache as KC
+from kivi_tpu.cache.fp_cache import (fp_append, fp_extend_attention,
+                                     init_fp_cache)
+from kivi_tpu.config import ModelConfig, QuantConfig
+from kivi_tpu.core.attention import (decode_attention, extend_attention,
+                                     prefill_attention)
+from kivi_tpu.models import modeling
+from kivi_tpu.serving.engine import Engine
+
+
+def make_qcfg(**kw):
+    kw.setdefault("k_bits", 2)
+    kw.setdefault("v_bits", 2)
+    kw.setdefault("group_size", 16)
+    kw.setdefault("residual_length", 32)
+    return QuantConfig(**kw)
+
+
+def _kv(key, B, H, T, D, dtype=jnp.float32):
+    k = jax.random.normal(jax.random.PRNGKey(key), (B, H, T, D), dtype)
+    v = jax.random.normal(jax.random.PRNGKey(key + 1), (B, H, T, D), dtype)
+    return k, v
+
+
+# ---------------------------------------------------------------------------
+# cache-state equivalence: extend == one-shot ingest, bit for bit
+# ---------------------------------------------------------------------------
+
+# splits exercise: W-aligned, off-boundary, prefix inside the window
+# (T0 < W), suffix crossing several W blocks, suffix of 1, and a second
+# chained extend.
+@pytest.mark.parametrize("t0,t1", [(64, 64), (70, 58), (10, 118),
+                                   (33, 1), (32, 96), (100, 28)])
+def test_prefill_extend_matches_one_shot(t0, t1):
+    qcfg = make_qcfg()  # gs=16, W=32
+    B, H, D, Tmax = 2, 2, 32, 256
+    k, v = _kv(0, B, H, t0 + t1, D)
+
+    one = KC.init_layer_cache(B, H, D, Tmax, qcfg, jnp.float32)
+    one = KC.prefill_ingest(one, k, v, qcfg)
+
+    two = KC.init_layer_cache(B, H, D, Tmax, qcfg, jnp.float32)
+    two = KC.prefill_ingest(two, k[:, :, :t0], v[:, :, :t0], qcfg)
+    two = KC.prefill_extend(two, k[:, :, t0:], v[:, :, t0:], qcfg, t0)
+
+    for f in ("k_codes", "k_scale", "k_mn", "v_codes", "v_scale", "v_mn",
+              "k_win", "v_win"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(one, f)), np.asarray(getattr(two, f)), f)
+    for f in ("n_k_quant", "n_k_win", "n_v_quant", "n_v_win"):
+        assert int(getattr(one, f)) == int(getattr(two, f)), f
+
+
+def test_prefill_extend_chained():
+    """Three chained extends == one-shot (multi-turn prefix growth)."""
+    qcfg = make_qcfg(v_flush=32)
+    B, H, D, Tmax = 1, 2, 32, 512
+    splits = [40, 40 + 37, 40 + 37 + 91]
+    k, v = _kv(10, B, H, splits[-1], D)
+
+    one = KC.init_layer_cache(B, H, D, Tmax, qcfg, jnp.float32)
+    one = KC.prefill_ingest(one, k, v, qcfg)
+
+    two = KC.init_layer_cache(B, H, D, Tmax, qcfg, jnp.float32)
+    prev = 0
+    for s in splits:
+        blk = slice(prev, s)
+        if prev == 0:
+            two = KC.prefill_ingest(two, k[:, :, blk], v[:, :, blk], qcfg)
+        else:
+            two = KC.prefill_extend(two, k[:, :, blk], v[:, :, blk], qcfg,
+                                    prev)
+        prev = s
+
+    np.testing.assert_array_equal(np.asarray(one.k_codes),
+                                  np.asarray(two.k_codes))
+    np.testing.assert_array_equal(np.asarray(one.v_codes),
+                                  np.asarray(two.v_codes))
+    np.testing.assert_array_equal(np.asarray(one.k_win),
+                                  np.asarray(two.k_win))
+    np.testing.assert_array_equal(np.asarray(one.v_win),
+                                  np.asarray(two.v_win))
+    assert int(one.seq_len) == int(two.seq_len) == splits[-1]
+
+
+def test_prefill_extend_bf16_window_roundtrip():
+    """bf16 activations + bf16 window (the engine's configuration) also
+    land bit-identical: the window round-trips bf16->bf16 losslessly."""
+    qcfg = make_qcfg()
+    B, H, D, Tmax = 1, 1, 32, 256
+    k, v = _kv(20, B, H, 100, D, jnp.bfloat16)
+    one = KC.init_layer_cache(B, H, D, Tmax, qcfg, jnp.bfloat16)
+    one = KC.prefill_ingest(one, k, v, qcfg)
+    two = KC.init_layer_cache(B, H, D, Tmax, qcfg, jnp.bfloat16)
+    two = KC.prefill_ingest(two, k[:, :, :70], v[:, :, :70], qcfg)
+    two = KC.prefill_extend(two, k[:, :, 70:], v[:, :, 70:], qcfg, 70)
+    np.testing.assert_array_equal(np.asarray(one.k_codes),
+                                  np.asarray(two.k_codes))
+    np.testing.assert_array_equal(
+        np.asarray(one.k_win, np.float32), np.asarray(two.k_win, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(one.v_win, np.float32), np.asarray(two.v_win, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# extend attention correctness
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sliding_window", [None, 48])
+def test_fp_extend_matches_full_prefill(sliding_window):
+    """fp twin is exact: suffix rows of full prefill attention == extend
+    attention over a cache holding the prefix."""
+    B, Hq, Hkv, D, Tmax = 2, 4, 2, 32, 128
+    t0, t1 = 50, 30
+    k, v = _kv(30, B, Hkv, t0 + t1, D)
+    q = jax.random.normal(jax.random.PRNGKey(33), (B, Hq, t0 + t1, D))
+
+    full = prefill_attention(q, k, v, sliding_window=sliding_window)
+
+    cache = init_fp_cache(B, Hkv, D, Tmax, jnp.float32)
+    cache = fp_append(cache, k[:, :, :t0], v[:, :, :t0])
+    got = fp_extend_attention(q[:, :, t0:], k[:, :, t0:], v[:, :, t0:],
+                              cache, sliding_window=sliding_window)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(full[:, :, t0:]),
+                               atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("impl", ["jnp", "pallas"])
+def test_extend_attention_8bit_matches_fp(impl):
+    """At 8 bits the quantized history is near-exact, so extend over the
+    KIVI cache must track the fp oracle tightly."""
+    qcfg = make_qcfg(k_bits=8, v_bits=8)
+    B, Hq, Hkv, D, Tmax = 1, 4, 2, 32, 128
+    t0, t1 = 70, 26
+    k, v = _kv(40, B, Hkv, t0 + t1, D)
+    q = jax.random.normal(jax.random.PRNGKey(44), (B, Hq, t0 + t1, D))
+
+    full = prefill_attention(q, k, v)
+
+    cache = KC.init_layer_cache(B, Hkv, D, Tmax, qcfg, jnp.float32)
+    cache = KC.prefill_ingest(cache, k[:, :, :t0], v[:, :, :t0], qcfg)
+    got = extend_attention(q[:, :, t0:], k[:, :, t0:], v[:, :, t0:],
+                           cache, qcfg, impl=impl)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(full[:, :, t0:]),
+                               atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("bits", [2, 4])
+def test_extend_single_token_matches_decode(bits):
+    """A one-token extend is semantically a decode step: same cache, same
+    token, outputs must agree (decode appends-then-attends; extend
+    attends history + exact self)."""
+    qcfg = make_qcfg(k_bits=bits, v_bits=bits)
+    B, Hq, Hkv, D, Tmax = 1, 4, 2, 32, 128
+    t0 = 70  # window at 6/32 after ingest: the append cannot flush
+    k, v = _kv(50, B, Hkv, t0 + 1, D)
+    q = jax.random.normal(jax.random.PRNGKey(55), (B, Hq, 1, D))
+
+    cache = KC.init_layer_cache(B, Hkv, D, Tmax, qcfg, jnp.float32)
+    cache = KC.prefill_ingest(cache, k[:, :, :t0], v[:, :, :t0], qcfg)
+
+    ext = extend_attention(q, k[:, :, t0:], v[:, :, t0:], cache, qcfg)
+
+    dec_cache = KC.decode_append(cache, k[:, :, t0:], v[:, :, t0:], qcfg)
+    dec = decode_attention(q, dec_cache, qcfg)
+    np.testing.assert_allclose(np.asarray(ext), np.asarray(dec),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_extend_sliding_window_matches_fp_window():
+    """SWA extend at 8 bits vs the fp twin (which is exact vs prefill)."""
+    qcfg = make_qcfg(k_bits=8, v_bits=8)
+    B, Hq, Hkv, D, Tmax = 1, 2, 2, 32, 128
+    t0, t1, win = 64, 20, 48
+    k, v = _kv(60, B, Hkv, t0 + t1, D)
+    q = jax.random.normal(jax.random.PRNGKey(66), (B, Hq, t0 + t1, D))
+
+    fpc = init_fp_cache(B, Hkv, D, Tmax, jnp.float32)
+    fpc = fp_append(fpc, k[:, :, :t0], v[:, :, :t0])
+    want = fp_extend_attention(q[:, :, t0:], k[:, :, t0:], v[:, :, t0:],
+                               fpc, sliding_window=win)
+
+    cache = KC.init_layer_cache(B, Hkv, D, Tmax, qcfg, jnp.float32)
+    cache = KC.prefill_ingest(cache, k[:, :, :t0], v[:, :, :t0], qcfg)
+    got = extend_attention(q[:, :, t0:], k[:, :, t0:], v[:, :, t0:],
+                           cache, qcfg, sliding_window=win)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-2, rtol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# engine API: prefill_prefix / extend / generate(prefix=)
+# ---------------------------------------------------------------------------
+
+def _tiny(vocab=64):
+    return ModelConfig(vocab_size=vocab, hidden_size=32,
+                       intermediate_size=64, num_layers=2, num_heads=4,
+                       num_kv_heads=2, head_dim=16,
+                       max_position_embeddings=256)
+
+
+def _params(cfg, seed=0):
+    return modeling.init_params(cfg, jax.random.PRNGKey(seed),
+                                dtype=jnp.float32)
+
+
+def _toks(seed, shape, vocab=64):
+    return jnp.asarray(np.random.default_rng(seed).integers(
+        1, vocab, shape), jnp.int32)
+
+
+def test_engine_extend_matches_one_shot_snapshot():
+    """Engine.extend(snap, t1) vs prefill_prefix(t0 + t1) on the fp16
+    cache: suffix activations are exact either way, so cache contents
+    must agree to fp noise (summation order differs between the prefill
+    and extend attention paths, so bit-identity is cache-level only —
+    see test_prefill_extend_matches_one_shot).  Also: extend must NOT
+    corrupt the source snapshot (donation hygiene)."""
+    cfg = _tiny()
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=16,
+                       residual_length=16)
+    eng = Engine(cfg, qcfg, _params(cfg), max_seq_len=128, batch_size=1)
+    eng.cache_dtype = jnp.float32
+    t0, t1 = _toks(0, (37,)), _toks(1, (45,))
+
+    snap0 = eng.prefill_prefix(t0)
+    before = jax.tree_util.tree_map(np.asarray, snap0.caches)
+    snap1 = eng.extend(snap0, t1)
+    after = jax.tree_util.tree_map(np.asarray, snap0.caches)
+    one = eng.prefill_prefix(jnp.concatenate([t0, t1]))
+
+    jax.tree_util.tree_map(np.testing.assert_array_equal, before, after)
+    assert snap1.length == one.length == 82
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=1e-5, rtol=1e-5),
+        snap1.caches, one.caches)
+
+
+def test_engine_generate_prefix_fp_matches_full():
+    """fp16-cache engine: generate(prefix=snap, suffix) must be token-
+    equal to generate(prefix + suffix) — the extend path is exact when
+    nothing is quantized."""
+    cfg = _tiny()
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=16,
+                       residual_length=16)
+    eng = Engine(cfg, qcfg, _params(cfg), max_seq_len=128, batch_size=2)
+    eng.cache_dtype = jnp.float32
+    prefix, suffix = _toks(2, (30,)), _toks(3, (2, 11))
+    full = jnp.concatenate(
+        [jnp.broadcast_to(prefix, (2, 30)), suffix], axis=1)
+
+    want = np.asarray(eng.generate(full, 12))
+    snap = eng.prefill_prefix(prefix)
+    got = np.asarray(eng.generate(suffix, 12, prefix=snap))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_generate_prefix_8bit_matches_full():
+    """8-bit KIVI: suffix tokens see a near-exact quantized prefix, so
+    greedy tokens should not drift at tiny scale."""
+    cfg = _tiny()
+    eng = Engine(cfg, make_qcfg(k_bits=8, v_bits=8), _params(cfg),
+                 max_seq_len=128, batch_size=2)
+    eng.cache_dtype = jnp.float32
+    prefix, suffix = _toks(4, (40,)), _toks(5, (2, 9))
+    full = jnp.concatenate(
+        [jnp.broadcast_to(prefix, (2, 40)), suffix], axis=1)
+
+    want = np.asarray(eng.generate(full, 10))
+    snap = eng.prefill_prefix(prefix)
+    got = np.asarray(eng.generate(suffix, 10, prefix=snap))
+    assert (got == want).mean() >= 0.9, (got, want)
+
+
+def test_engine_generate_prefix_2bit_runs_and_broadcasts():
+    """2-bit end to end: rows with identical suffixes must decode
+    identically (broadcast_rows gave every row the same prefix), tokens
+    finite/valid, and repeated generates from one snapshot agree (the
+    snapshot is not consumed).  Chained-extend and one-shot snapshots
+    legitimately DIFFER at 2-bit — extend-path suffix activations saw a
+    quantized prefix — so no cross-path equality here (that invariant
+    is cache-level: test_prefill_extend_matches_one_shot)."""
+    cfg = _tiny()
+    eng = Engine(cfg, make_qcfg(), _params(cfg), max_seq_len=256,
+                 batch_size=2)
+    eng.cache_dtype = jnp.float32
+    t0, t1 = _toks(6, (33,)), _toks(7, (19,))
+    suffix = jnp.broadcast_to(_toks(8, (7,)), (2, 7))
+
+    snap = eng.extend(eng.prefill_prefix(t0), t1)
+    out = np.asarray(eng.generate(suffix, 15, prefix=snap))
+    assert out.shape == (2, 15)
+    np.testing.assert_array_equal(out[0], out[1])
+    assert ((out >= 0) & (out < cfg.vocab_size)).all()
+
+    again = np.asarray(eng.generate(suffix, 15, prefix=snap))
+    np.testing.assert_array_equal(out, again)
+
+
+def test_engine_prefix_repetition_penalty_sees_prefix_tokens():
+    """The seen-mask must cover PREFIX tokens, not just the suffix: a
+    penalized generate with prefix must match the full-prompt run."""
+    cfg = _tiny()
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=16,
+                       residual_length=16)
+    eng = Engine(cfg, qcfg, _params(cfg), max_seq_len=128, batch_size=1)
+    eng.cache_dtype = jnp.float32
+    prefix, suffix = _toks(9, (25,)), _toks(10, (1, 6))
+    full = jnp.concatenate([prefix.reshape(1, -1), suffix], axis=1)
+
+    want = np.asarray(eng.generate(full, 10, repetition_penalty=1.5))
+    got = np.asarray(eng.generate(suffix, 10,
+                                  prefix=eng.prefill_prefix(prefix),
+                                  repetition_penalty=1.5))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_broadcast_rows_counters_are_fresh_buffers():
+    """broadcast_rows must COPY 0-d counters: the result is handed to
+    donating jits, which must not invalidate the snapshot's buffers."""
+    qcfg = make_qcfg()
+    cache = KC.init_layer_cache(1, 2, 32, 128, qcfg, jnp.float32)
+    k, v = _kv(70, 1, 2, 50, 32)
+    cache = KC.prefill_ingest(cache, k, v, qcfg)
+    out = KC.broadcast_rows(cache, 4)
+    assert out.k_codes.shape[0] == 4
+    assert int(out.n_k_quant) == int(cache.n_k_quant)
+    assert out.n_k_quant is not cache.n_k_quant
+    np.testing.assert_array_equal(np.asarray(out.k_win[0]),
+                                  np.asarray(cache.k_win[0]))
+    np.testing.assert_array_equal(np.asarray(out.k_win[3]),
+                                  np.asarray(cache.k_win[0]))

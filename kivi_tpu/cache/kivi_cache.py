@@ -89,6 +89,10 @@ def init_layer_cache(batch: int, num_kv_heads: int, head_dim: int,
                      dtype=jnp.bfloat16) -> KiviLayerCache:
     gs, W = qcfg.group_size, qcfg.residual_length
     assert max_seq_len % gs == 0
+    # V groups run along channels: a group_size wider than head_dim
+    # would otherwise surface as a shape error deep in dequantize_v
+    assert head_dim % gs == 0, (
+        f"group_size {gs} must divide head_dim {head_dim}")
     kdw = Q.num_words(head_dim, qcfg.k_bits)
     vdw = Q.num_words(head_dim, qcfg.v_bits)
     B, H, D, T = batch, num_kv_heads, head_dim, max_seq_len

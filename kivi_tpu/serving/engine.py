@@ -74,7 +74,7 @@ class Engine:
         self._extend = _jit(
             functools.partial(self._extend_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
-            static_argnames=("prev_len",), donate_argnums=(2,))
+            static_argnames=("prev_len",), donate_argnums=(3,))
         self._decode_scan_jit = _jit(
             functools.partial(self._decode_scan_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
@@ -98,20 +98,38 @@ class Engine:
         (plus the prompt_len <= W edge), so resuming decode at a later
         position with the same phase reuses the compilation instead of
         recompiling per call site."""
-        qcfg = self.qcfg
-        if not qcfg.quantize_kv:
-            prompt_len = 0          # only gates flush scheduling
-        elif prompt_len > 0:
-            W, vf = qcfg.residual_length, qcfg.value_flush
-            L = W * vf // math.gcd(W, vf)
-            if prompt_len > W + L:
-                prompt_len = W + 1 + (prompt_len - W - 1) % L
+        prompt_len = self._canonical_phase(prompt_len)
         return self._decode_scan_jit(params, first_token, first_pos,
                                      caches, rng, pad, seen, steps=steps,
                                      temperature=temperature,
                                      prompt_len=prompt_len, top_k=top_k,
                                      top_p=top_p,
                                      repetition_penalty=repetition_penalty)
+
+    def _canonical_phase(self, prompt_len: int) -> int:
+        """Canonicalize a static token count to its quantization phase:
+        flush schedules and prefill_extend's split arithmetic depend
+        only on prompt_len mod lcm(W, v_flush) (plus the <= W edge), so
+        callers at a later position with the same phase reuse the
+        compilation instead of recompiling per call site."""
+        qcfg = self.qcfg
+        if not qcfg.quantize_kv:
+            return 0                # only gates flush/split scheduling
+        if prompt_len > 0:
+            W, vf = qcfg.residual_length, qcfg.value_flush
+            L = W * vf // math.gcd(W, vf)
+            if prompt_len > W + L:
+                prompt_len = W + 1 + (prompt_len - W - 1) % L
+        return prompt_len
+
+    def _extend_call(self, params, tokens, caches, prev_len: int):
+        """_extend with prev_len canonicalized (see _canonical_phase):
+        the TRUE prev_len rides in as a traced scalar for RoPE
+        positions, so chunked prefill compiles once per phase, not once
+        per absolute position."""
+        pos0 = jnp.full((), prev_len, jnp.int32)
+        return self._extend(params, tokens, pos0, caches,
+                            prev_len=self._canonical_phase(prev_len))
 
     # -- jitted bodies ----------------------------------------------------
 
@@ -134,13 +152,15 @@ class Engine:
         return logits[:, -1, :], caches
 
     @staticmethod
-    def _extend_fn(params, tokens, caches, *, prev_len, cfg, qcfg, impl):
+    def _extend_fn(params, tokens, pos0, caches, *, prev_len, cfg, qcfg,
+                   impl):
         """Chunked-prefill step: tokens (B, T1) continue a cache that
-        already holds prev_len (STATIC) tokens; positions are the true
-        indices prev_len..prev_len+T1."""
+        already holds pos0 (traced scalar — the TRUE count, for RoPE)
+        tokens; prev_len is its STATIC canonical phase and only gates
+        prefill_extend's split arithmetic (see _extend_call)."""
         B, T1 = tokens.shape
         positions = jnp.broadcast_to(
-            prev_len + jnp.arange(T1, dtype=jnp.int32), (B, T1))
+            pos0 + jnp.arange(T1, dtype=jnp.int32), (B, T1))
         logits, caches = modeling.forward(
             params, tokens, caches, cfg, qcfg, positions, mode="extend",
             impl=impl, last_only=True, prev_len=prev_len)
@@ -352,18 +372,59 @@ class Engine:
         return modeling.init_caches(self.cfg, self.qcfg, self.batch_size,
                                     self.max_seq_len, self.cache_dtype)
 
-    def prefill_prefix(self, tokens: jax.Array) -> PrefixSnapshot:
+    def prefill_prefix(self, tokens: jax.Array,
+                       chunk_size: Optional[int] = None) -> PrefixSnapshot:
         """Prefill a shared prompt prefix ONCE at batch 1 and snapshot
         the resulting caches.  tokens: (T0,) or (1, T0).  The snapshot
         plugs into `generate(..., prefix=)`, which broadcasts it across
         the batch and prefills only each request's suffix — the prefill
         FLOPs and HBM for the shared prefix are paid once per prefix,
-        not once per request.  Chain `extend()` for multi-turn reuse."""
+        not once per request.  Chain `extend()` for multi-turn reuse.
+        chunk_size: prefill through `prefill_chunked` (bounded memory +
+        one compile for all prefix lengths; KIVI-approximate past the
+        first chunk)."""
         tokens = jnp.asarray(tokens, jnp.int32).reshape(1, -1)
         caches = modeling.init_caches(self.cfg, self.qcfg, 1,
                                       self.max_seq_len, self.cache_dtype)
-        _, caches = self._prefill(self.params, tokens, caches, None)
+        if chunk_size is not None:
+            _, caches = self.prefill_chunked(tokens, chunk_size,
+                                             caches=caches)
+        else:
+            _, caches = self._prefill(self.params, tokens, caches, None)
         return PrefixSnapshot(caches=caches, tokens=tokens)
+
+    def prefill_chunked(self, tokens: jax.Array, chunk_size: int = 512,
+                        caches=None):
+        """Prefill a long prompt in fixed-size chunks through the extend
+        path: activation/logit memory is O(chunk * max_seq_len) instead
+        of O(T^2), and — because _extend_call canonicalizes the chunk
+        position to its quantization phase — ONE extend compilation
+        covers every interior chunk of every prompt length (plus one
+        for each distinct remainder), where one-shot prefill compiles
+        per distinct prompt length (20-40 s each on TPU).
+
+        Chunks past the first attend the already-QUANTIZED earlier
+        chunks, the same accuracy class as KIVI decode; one-shot
+        prefill sees the whole prompt exact.  tokens (B, T) unpadded.
+        Returns (last-token logits (B, V), caches)."""
+        qcfg = self.qcfg
+        if qcfg.quantize_kv:
+            W, vf = qcfg.residual_length, qcfg.value_flush
+            L = W * vf // math.gcd(W, vf)
+            if chunk_size % L:
+                # keep every interior chunk on the same phase
+                chunk_size += L - chunk_size % L
+        B, T = tokens.shape
+        if caches is None:
+            caches = modeling.init_caches(self.cfg, self.qcfg, B,
+                                          self.max_seq_len,
+                                          self.cache_dtype)
+        logits = None
+        for t0 in range(0, T, chunk_size):
+            chunk = tokens[:, t0:t0 + chunk_size]
+            logits, caches = self._extend_call(self.params, chunk,
+                                               caches, t0)
+        return logits, caches
 
     def extend(self, snapshot: PrefixSnapshot,
                tokens: jax.Array) -> PrefixSnapshot:
@@ -373,8 +434,8 @@ class Engine:
         # donated input: hand the jit a copy so the snapshot stays live
         caches = jax.tree_util.tree_map(lambda x: x.copy(),
                                         snapshot.caches)
-        _, caches = self._extend(self.params, tokens, caches,
-                                 prev_len=snapshot.length)
+        _, caches = self._extend_call(self.params, tokens, caches,
+                                      snapshot.length)
         return PrefixSnapshot(
             caches=caches,
             tokens=jnp.concatenate([snapshot.tokens, tokens], axis=1))
@@ -454,8 +515,8 @@ class Engine:
             full_tokens = tokens
         else:
             caches = [broadcast_rows(c, B) for c in prefix.caches]
-            logits, caches = self._extend(self.params, tokens, caches,
-                                          prev_len=prefix.length)
+            logits, caches = self._extend_call(self.params, tokens,
+                                               caches, prefix.length)
             full_tokens = jnp.concatenate(
                 [jnp.broadcast_to(prefix.tokens, (B, prefix.length)),
                  tokens], axis=1)

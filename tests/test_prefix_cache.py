@@ -336,6 +336,70 @@ def test_engine_prefix_repetition_penalty_sees_prefix_tokens():
     np.testing.assert_array_equal(got, want)
 
 
+def test_prefill_chunked_fp_matches_one_shot():
+    """fp16 cache: every chunk attends exact history, so chunked prefill
+    logits and greedy generation must match the one-shot path."""
+    cfg = _tiny()
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=16,
+                       residual_length=16)
+    eng = Engine(cfg, qcfg, _params(cfg), max_seq_len=256, batch_size=2)
+    eng.cache_dtype = jnp.float32
+    toks = _toks(11, (2, 100))
+
+    want_logits, want_caches = eng._prefill(
+        eng.params, toks, eng.init_caches(), None)
+    got_logits, got_caches = eng.prefill_chunked(toks, chunk_size=32)
+    np.testing.assert_allclose(np.asarray(got_logits),
+                               np.asarray(want_logits),
+                               atol=1e-4, rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=1e-5, rtol=1e-5),
+        got_caches, want_caches)
+
+
+def test_prefill_chunked_compiles_once_per_phase():
+    """Interior chunks at different absolute positions must share ONE
+    extend compilation (prev_len canonicalized to its quantization
+    phase) — the whole point of chunked prefill on TPU, where each
+    distinct prefill geometry costs a 20-40 s compile."""
+    cfg = _tiny()
+    eng = Engine(cfg, make_qcfg(), _params(cfg), max_seq_len=1024,
+                 batch_size=1)
+    eng.cache_dtype = jnp.float32
+    # W=32, vf=gs=16 -> L=32; chunk 64 is phase-aligned.  9 chunks +
+    # one 36-token remainder.
+    toks = _toks(12, (1, 9 * 64 + 36))
+    logits, caches = eng.prefill_chunked(toks, chunk_size=64)
+    assert logits.shape == (1, cfg.vocab_size)
+    assert int(caches[0].seq_len) == 612
+    # chunk 0 (empty cache), ONE shared interior phase, remainder
+    assert eng._extend._cache_size() <= 3
+
+    # a second, longer prompt reuses all three compilations
+    toks2 = _toks(13, (1, 14 * 64 + 36))
+    eng.prefill_chunked(toks2, chunk_size=64)
+    assert eng._extend._cache_size() <= 3
+
+
+def test_prefill_chunked_8bit_generation_tracks_one_shot():
+    """8-bit: chunks attend near-exact quantized history; greedy tokens
+    from a chunked-prefill prefix should track the one-shot prefix."""
+    cfg = _tiny()
+    eng = Engine(cfg, make_qcfg(k_bits=8, v_bits=8), _params(cfg),
+                 max_seq_len=256, batch_size=2)
+    eng.cache_dtype = jnp.float32
+    prefix = _toks(14, (90,))
+    suffix = jnp.broadcast_to(_toks(15, (8,)), (2, 8))
+
+    snap_one = eng.prefill_prefix(prefix)
+    snap_chk = eng.prefill_prefix(prefix, chunk_size=32)
+    want = np.asarray(eng.generate(suffix, 10, prefix=snap_one))
+    got = np.asarray(eng.generate(suffix, 10, prefix=snap_chk))
+    assert (got == want).mean() >= 0.9, (got, want)
+
+
 def test_broadcast_rows_counters_are_fresh_buffers():
     """broadcast_rows must COPY 0-d counters: the result is handed to
     donating jits, which must not invalidate the snapshot's buffers."""

@@ -88,7 +88,8 @@ def fp_append_masked(cache: FpLayerCache, k_new, v_new,
 
 def fp_extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                         cache: FpLayerCache,
-                        sliding_window: Optional[int] = None) -> jax.Array:
+                        sliding_window: Optional[int] = None,
+                        pad_len: Optional[jax.Array] = None) -> jax.Array:
     """Multi-token continuation attention over the fp cache: T1 suffix
     queries attend the cached history [0, length) plus themselves
     causally (the fp-baseline twin of core.attention.extend_attention,
@@ -120,6 +121,16 @@ def fp_extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         att_h = jnp.where(pos >= lo, att_h, -1e30)
         att_s = jnp.where(kj.reshape(1, 1, 1, T1, T1) + T0 >= lo,
                           att_s, -1e30)
+
+    if pad_len is not None:
+        # left-pad front mask + diagonal reopening, exactly as in
+        # core.attention.extend_attention
+        pad = pad_len.reshape(B, 1, 1, 1, 1)
+        att_h = jnp.where(pos >= pad, att_h, -1e30)
+        att_s = jnp.where(kj.reshape(1, 1, 1, T1, T1) + T0 >= pad,
+                          att_s, -1e30)
+        att_s = jnp.where((kj == qi).reshape(1, 1, 1, T1, T1),
+                          jnp.maximum(att_s, -5e29), att_s)
 
     att = jnp.concatenate([att_h, att_s], axis=-1) / (D ** 0.5)
     p = jax.nn.softmax(att.astype(jnp.float32), axis=-1)

@@ -196,7 +196,8 @@ def _gather_v_window_probs(p_a, p_b, cache: KiviLayerCache, W: int):
 def extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                      cache: KiviLayerCache, qcfg: QuantConfig, *,
                      impl: str = "jnp",
-                     sliding_window: Optional[int] = None) -> jax.Array:
+                     sliding_window: Optional[int] = None,
+                     pad_len: Optional[jax.Array] = None) -> jax.Array:
     """Multi-token continuation attention: T1 suffix queries attend the
     full cached history (quantized stores + fp windows) plus themselves
     causally.  The chunked-prefill / prefix-cache attention step; the
@@ -210,6 +211,13 @@ def extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
     contractions through the split kernels with the (r, T1) rows folded;
     logits are O(T1 * Tmax) in HBM (a flash-style extend megakernel is
     a known frontier, not needed for prefix-sized suffixes).
+
+    pad_len: (B,) i32 — rows were LEFT-padded by this many slots; cache
+    positions [0, pad) hold garbage and are masked across all three
+    halves (the front-pad convention of prefill/decode, which lets
+    ragged prompts ride chunked prefill).  Self positions are always
+    causally reachable, so the softmax never empties even on a
+    fully-padded chunk.
     """
     B, Hq, T1, D = q.shape
     Hkv = cache.k_win.shape[1]
@@ -257,6 +265,19 @@ def extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         att_w = jnp.where(win_w + cache.n_k_quant >= lo, att_w, NEG_INF)
         att_s = jnp.where(kj.reshape(1, 1, 1, T1, T1) + T0 >= lo,
                           att_s, NEG_INF)
+
+    if pad_len is not None:
+        pad = pad_len.reshape(B, 1, 1, 1, 1)
+        att_q = jnp.where(pos_q >= pad, att_q, NEG_INF)
+        att_w = jnp.where(win_w + cache.n_k_quant >= pad, att_w, NEG_INF)
+        # self positions T0 + j can sit below pad only when the current
+        # chunk itself still contains pad slots (first chunk)
+        att_s = jnp.where(kj.reshape(1, 1, 1, T1, T1) + T0 >= pad,
+                          att_s, NEG_INF)
+        # causal self diagonal stays reachable even for fully-padded
+        # rows: re-open j == i so the softmax cannot empty
+        att_s = jnp.where((kj == qi).reshape(1, 1, 1, T1, T1),
+                          jnp.maximum(att_s, NEG_INF / 2), att_s)
 
     # ---- softmax over the concatenation (fp32) -------------------------
     att = jnp.concatenate([att_q, att_w, att_s], axis=-1) * sm_scale

@@ -51,9 +51,15 @@ def cmd_predict(args):
         # PROMPT length is bucketed too (left-pad + mask): prefill
         # compiles once per (prompt bucket, cache bucket) pair, <= 6
         # compiles across a whole LongBench task, instead of one 20-40 s
-        # compile per distinct prompt length.
+        # compile per distinct prompt length.  --prefill-chunk C rounds
+        # the prompt up to a multiple of C instead and prefills through
+        # the chunked extend path: TWO compilations per cache bucket
+        # cover every prompt length, with far less pad overhead than
+        # power-of-two buckets (KIVI-approximate past the first chunk).
         ids = tok.encode(prompt)
-        pbucket = _bucket(len(ids))
+        C = args.prefill_chunk
+        pbucket = (((len(ids) + C - 1) // C) * C if C
+                   else _bucket(len(ids)))
         cache_len = _bucket(pbucket + max_new)
         if cache_len not in engines:
             engines[cache_len] = Engine(
@@ -64,7 +70,8 @@ def cmd_predict(args):
         out = eng.generate(jnp.asarray([[0] * pad + ids], jnp.int32),
                            min(max_new, cache_len - pbucket),
                            eos_token_id=tok.eos_token_id,
-                           pad_lens=[pad])
+                           pad_lens=[pad],
+                           prefill_chunk_size=C or None)
         return tok.decode(list(out[0]), skip_special_tokens=True)
 
     tasks = (args.tasks.split(",") if args.tasks else REFERENCE_TASKS)
@@ -109,6 +116,9 @@ def main(argv=None):
     p.add_argument("--tasks", default="")
     add_quant_flags(p)          # one flag surface (kivi_tpu/cli.py)
     p.add_argument("--max-len", type=int, default=32768)
+    p.add_argument("--prefill-chunk", type=int, default=0,
+                   help="prefill in chunks of this many tokens (0 = "
+                        "one-shot per prompt bucket)")
     p.add_argument("--impl", default="pallas")
     p.add_argument("--limit", type=int, default=0)
     p.set_defaults(fn=cmd_predict)

@@ -148,18 +148,22 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
         else:
             cache = KC.prefill_ingest(cache, k, v, qcfg, impl)
     elif mode == "extend":
-        # attention reads the PRE-extension cache; pads can't sit at the
-        # row front once a real prefix precedes the suffix, so ragged
-        # suffixes aren't representable here (callers pass equal-length
-        # suffixes per extend call)
-        assert pad_len is None and active is None
+        # attention reads the PRE-extension cache.  pad_len is the
+        # LEFT-pad of the whole (chunked) prompt: garbage sits at cache
+        # positions [0, pad) and is front-masked, so ragged prompts ride
+        # chunked prefill with one shared compilation.  Per-suffix
+        # raggedness (pads between prefix and suffix) stays
+        # unrepresentable.
+        assert active is None
         if isinstance(cache, FpLayerCache):
             out = fp_extend_attention(q, k, v, cache,
-                                      sliding_window=cfg.sliding_window)
+                                      sliding_window=cfg.sliding_window,
+                                      pad_len=pad_len)
             cache = fp_append(cache, k, v)
         else:
             out = extend_attention(q, k, v, cache, qcfg, impl=impl,
-                                   sliding_window=cfg.sliding_window)
+                                   sliding_window=cfg.sliding_window,
+                                   pad_len=pad_len)
             cache = KC.prefill_extend(cache, k, v, qcfg, prev_len, impl)
     else:
         if isinstance(cache, FpLayerCache):

@@ -122,13 +122,14 @@ class Engine:
                 prompt_len = W + 1 + (prompt_len - W - 1) % L
         return prompt_len
 
-    def _extend_call(self, params, tokens, caches, prev_len: int):
+    def _extend_call(self, params, tokens, caches, prev_len: int,
+                     pad=None):
         """_extend with prev_len canonicalized (see _canonical_phase):
         the TRUE prev_len rides in as a traced scalar for RoPE
         positions, so chunked prefill compiles once per phase, not once
         per absolute position."""
         pos0 = jnp.full((), prev_len, jnp.int32)
-        return self._extend(params, tokens, pos0, caches,
+        return self._extend(params, tokens, pos0, caches, pad,
                             prev_len=self._canonical_phase(prev_len))
 
     # -- jitted bodies ----------------------------------------------------
@@ -152,18 +153,22 @@ class Engine:
         return logits[:, -1, :], caches
 
     @staticmethod
-    def _extend_fn(params, tokens, pos0, caches, *, prev_len, cfg, qcfg,
-                   impl):
+    def _extend_fn(params, tokens, pos0, caches, pad=None, *, prev_len,
+                   cfg, qcfg, impl):
         """Chunked-prefill step: tokens (B, T1) continue a cache that
         already holds pos0 (traced scalar — the TRUE count, for RoPE)
         tokens; prev_len is its STATIC canonical phase and only gates
-        prefill_extend's split arithmetic (see _extend_call)."""
+        prefill_extend's split arithmetic (see _extend_call).  pad (B,)
+        is the whole prompt's left-pad: RoPE positions subtract it
+        (clamped at 0) and attention front-masks cache slots [0, pad)."""
         B, T1 = tokens.shape
         positions = jnp.broadcast_to(
             pos0 + jnp.arange(T1, dtype=jnp.int32), (B, T1))
+        if pad is not None:
+            positions = jnp.maximum(positions - pad[:, None], 0)
         logits, caches = modeling.forward(
             params, tokens, caches, cfg, qcfg, positions, mode="extend",
-            impl=impl, last_only=True, prev_len=prev_len)
+            impl=impl, last_only=True, prev_len=prev_len, pad_len=pad)
         return logits[:, -1, :], caches
 
     @staticmethod
@@ -394,7 +399,7 @@ class Engine:
         return PrefixSnapshot(caches=caches, tokens=tokens)
 
     def prefill_chunked(self, tokens: jax.Array, chunk_size: int = 512,
-                        caches=None):
+                        caches=None, pad_lens=None):
         """Prefill a long prompt in fixed-size chunks through the extend
         path: activation/logit memory is O(chunk * max_seq_len) instead
         of O(T^2), and — because _extend_call canonicalizes the chunk
@@ -405,8 +410,11 @@ class Engine:
 
         Chunks past the first attend the already-QUANTIZED earlier
         chunks, the same accuracy class as KIVI decode; one-shot
-        prefill sees the whole prompt exact.  tokens (B, T) unpadded.
-        Returns (last-token logits (B, V), caches)."""
+        prefill sees the whole prompt exact.  tokens (B, T), LEFT-
+        padded by pad_lens (B,) slots per row (None = no padding) — pad
+        T to a multiple of chunk_size and ragged prompts of ANY length
+        share the same two compilations.  Returns (last-token logits
+        (B, V), caches)."""
         qcfg = self.qcfg
         if qcfg.quantize_kv:
             W, vf = qcfg.residual_length, qcfg.value_flush
@@ -415,6 +423,8 @@ class Engine:
                 # keep every interior chunk on the same phase
                 chunk_size += L - chunk_size % L
         B, T = tokens.shape
+        pad = (None if pad_lens is None
+               else jnp.asarray(pad_lens, jnp.int32).reshape(B))
         if caches is None:
             caches = modeling.init_caches(self.cfg, self.qcfg, B,
                                           self.max_seq_len,
@@ -423,7 +433,7 @@ class Engine:
         for t0 in range(0, T, chunk_size):
             chunk = tokens[:, t0:t0 + chunk_size]
             logits, caches = self._extend_call(self.params, chunk,
-                                               caches, t0)
+                                               caches, t0, pad)
         return logits, caches
 
     def extend(self, snapshot: PrefixSnapshot,
@@ -465,7 +475,8 @@ class Engine:
                  pad_lens=None,
                  top_k: int = 0, top_p: float = 1.0,
                  repetition_penalty: float = 1.0,
-                 prefix: Optional[PrefixSnapshot] = None) -> jax.Array:
+                 prefix: Optional[PrefixSnapshot] = None,
+                 prefill_chunk_size: Optional[int] = None) -> jax.Array:
         """Greedy/sampled generation.  tokens (B, T) -> (B, max_new_tokens).
 
         The whole decode loop runs device-side; EOS handling pads after
@@ -483,6 +494,11 @@ class Engine:
         only the suffix is prefilled.  Suffix tokens attend the
         QUANTIZED prefix (a one-shot prefill would see it exact) —
         same accuracy class as any post-window token at decode.
+
+        prefill_chunk_size: prefill through `prefill_chunked` (callers
+        should pad T to a multiple of it so every prompt length shares
+        the same two compilations; KIVI-approximate past the first
+        chunk).  Mutually exclusive with prefix.
         """
         B, T = tokens.shape
         n_real = B
@@ -500,6 +516,8 @@ class Engine:
         assert Tp + max_new_tokens <= self.max_seq_len, "cache too small"
         if prefix is not None:
             assert pad_lens is None, "prefix + ragged suffixes unsupported"
+            assert prefill_chunk_size is None, \
+                "chunked prefill applies to the prefix-less path"
         pad = (None if pad_lens is None
                else jnp.asarray(pad_lens, jnp.int32).reshape(B))
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -510,8 +528,13 @@ class Engine:
         from kivi_tpu.serving import sampling
         from kivi_tpu.cache.kivi_cache import broadcast_rows
         if prefix is None:
-            caches = self.init_caches()
-            logits, caches = self._prefill(self.params, tokens, caches, pad)
+            if prefill_chunk_size is not None:
+                logits, caches = self.prefill_chunked(
+                    tokens, prefill_chunk_size, pad_lens=pad)
+            else:
+                caches = self.init_caches()
+                logits, caches = self._prefill(self.params, tokens,
+                                               caches, pad)
             full_tokens = tokens
         else:
             caches = [broadcast_rows(c, B) for c in prefix.caches]

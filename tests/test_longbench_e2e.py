@@ -84,6 +84,37 @@ def test_longbench_predict_and_score(hf_checkpoint, tmp_path):
         assert 0.0 <= v <= 100.0
 
 
+def test_longbench_predict_chunked_prefill(hf_checkpoint, tmp_path):
+    """--prefill-chunk routes prediction through the chunked extend
+    path (ragged prompts, two compiles per cache bucket): same pipeline
+    must still produce well-formed predictions."""
+    from kivi_tpu.evalsuite import run_longbench
+
+    data_dir = tmp_path / "data"
+    pred_dir = tmp_path / "pred"
+    data_dir.mkdir()
+    samples = [
+        {"input": "what is the answer", "context": "the story is a story "
+         * 30, "answers": ["yes"], "length": 600, "all_classes": None},
+        {"input": "how many paragraphs", "context": "one two three "
+         * 20, "answers": ["3"], "length": 300, "all_classes": None},
+    ]
+    with open(data_dir / "hotpotqa.jsonl", "w") as f:
+        for s in samples:
+            f.write(json.dumps(s) + "\n")
+
+    run_longbench.main([
+        "predict", "--model-dir", hf_checkpoint,
+        "--data-dir", str(data_dir), "--out-dir", str(pred_dir),
+        "--tasks", "hotpotqa", "--k-bits", "2", "--v-bits", "2",
+        "--group-size", "16", "--residual", "16", "--max-len", "640",
+        "--prefill-chunk", "64", "--limit", "2",
+    ])
+    rows = [json.loads(l) for l in open(pred_dir / "hotpotqa.jsonl")]
+    assert len(rows) == 2
+    assert all("pred" in r for r in rows)
+
+
 def test_long_test_sh_runs(hf_checkpoint, tmp_path):
     """The shell driver itself (scripts/long_test.sh) must run end to
     end — argv wiring included (it shipped broken once: the required

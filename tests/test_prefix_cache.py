@@ -400,6 +400,89 @@ def test_prefill_chunked_8bit_generation_tracks_one_shot():
     assert (got == want).mean() >= 0.9, (got, want)
 
 
+def test_fp_extend_pad_matches_padded_prefill():
+    """Left-pad masking in extend: fp extend over a cache built from a
+    padded prefix must equal the padded one-shot prefill's suffix rows
+    (prefill_attention's pad_len path is the oracle)."""
+    B, Hq, Hkv, D, Tmax = 2, 4, 2, 32, 128
+    t0, t1 = 48, 30
+    pads = jnp.asarray([7, 21], jnp.int32)
+    k, v = _kv(80, B, Hkv, t0 + t1, D)
+    q = jax.random.normal(jax.random.PRNGKey(88), (B, Hq, t0 + t1, D))
+
+    full = prefill_attention(q, k, v, pad_len=pads)
+
+    cache = init_fp_cache(B, Hkv, D, Tmax, jnp.float32)
+    cache = fp_append(cache, k[:, :, :t0], v[:, :, :t0])
+    got = fp_extend_attention(q[:, :, t0:], k[:, :, t0:], v[:, :, t0:],
+                              cache, pad_len=pads)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(full[:, :, t0:]),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_extend_pad_8bit_matches_fp():
+    """Quantized extend with pad masking tracks the fp twin at 8 bits."""
+    qcfg = make_qcfg(k_bits=8, v_bits=8)
+    B, Hq, Hkv, D, Tmax = 2, 4, 2, 32, 128
+    t0, t1 = 64, 20
+    pads = jnp.asarray([5, 17], jnp.int32)
+    k, v = _kv(90, B, Hkv, t0 + t1, D)
+    q = jax.random.normal(jax.random.PRNGKey(99), (B, Hq, t0 + t1, D))
+
+    fpc = init_fp_cache(B, Hkv, D, Tmax, jnp.float32)
+    fpc = fp_append(fpc, k[:, :, :t0], v[:, :, :t0])
+    want = fp_extend_attention(q[:, :, t0:], k[:, :, t0:], v[:, :, t0:],
+                               fpc, pad_len=pads)
+
+    cache = KC.init_layer_cache(B, Hkv, D, Tmax, qcfg, jnp.float32)
+    cache = KC.prefill_ingest(cache, k[:, :, :t0], v[:, :, :t0], qcfg)
+    got = extend_attention(q[:, :, t0:], k[:, :, t0:], v[:, :, t0:],
+                           cache, qcfg, pad_len=pads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_chunked_ragged_fp_matches_one_shot():
+    """fp16 cache: RAGGED prompts (left-padded to a chunk multiple)
+    through chunked prefill must generate token-equal to the one-shot
+    padded path — including a row whose pad exceeds the chunk size
+    (its first chunk is entirely garbage)."""
+    cfg = _tiny()
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=16,
+                       residual_length=16)
+    eng = Engine(cfg, qcfg, _params(cfg), max_seq_len=256, batch_size=2)
+    eng.cache_dtype = jnp.float32
+    toks = _toks(16, (2, 96))
+    pads = [13, 41]   # row 1's pad > chunk 32: fully-padded first chunk
+
+    want = np.asarray(eng.generate(toks, 12, pad_lens=pads))
+    got = np.asarray(eng.generate(toks, 12, pad_lens=pads,
+                                  prefill_chunk_size=32))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_ragged_2bit_compile_sharing():
+    """2-bit ragged chunked prefill: two DIFFERENT padded prompt
+    lengths (both chunk multiples) share the same two extend
+    compilations, outputs valid/deterministic."""
+    cfg = _tiny()
+    eng = Engine(cfg, make_qcfg(), _params(cfg), max_seq_len=512,
+                 batch_size=2)
+    eng.cache_dtype = jnp.float32
+    out1 = np.asarray(eng.generate(_toks(17, (2, 128)), 10,
+                                   pad_lens=[3, 19],
+                                   prefill_chunk_size=64))
+    n_after_first = eng._extend._cache_size()
+    out2 = np.asarray(eng.generate(_toks(18, (2, 320)), 10,
+                                   pad_lens=[30, 0],
+                                   prefill_chunk_size=64))
+    assert eng._extend._cache_size() == n_after_first <= 2
+    for out in (out1, out2):
+        assert ((out >= 0) & (out < cfg.vocab_size)).all()
+        assert np.isfinite(out).all()
+
+
 def test_broadcast_rows_counters_are_fresh_buffers():
     """broadcast_rows must COPY 0-d counters: the result is handed to
     donating jits, which must not invalidate the snapshot's buffers."""

@@ -123,14 +123,15 @@ def fp_extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
                           att_s, -1e30)
 
     if pad_len is not None:
-        # left-pad front mask + diagonal reopening, exactly as in
-        # core.attention.extend_attention
+        # left-pad front mask; the causal diagonal is EXEMPT inside the
+        # predicate (not masked-then-reopened — see the NaN note in
+        # core.attention.extend_attention) so fully-padded rows keep a
+        # finite softmax
         pad = pad_len.reshape(B, 1, 1, 1, 1)
         att_h = jnp.where(pos >= pad, att_h, -1e30)
-        att_s = jnp.where(kj.reshape(1, 1, 1, T1, T1) + T0 >= pad,
-                          att_s, -1e30)
-        att_s = jnp.where((kj == qi).reshape(1, 1, 1, T1, T1),
-                          jnp.maximum(att_s, -5e29), att_s)
+        keep = ((kj.reshape(1, 1, 1, T1, T1) + T0 >= pad)
+                | (kj == qi).reshape(1, 1, 1, T1, T1))
+        att_s = jnp.where(keep, att_s, -1e30)
 
     att = jnp.concatenate([att_h, att_s], axis=-1) / (D ** 0.5)
     p = jax.nn.softmax(att.astype(jnp.float32), axis=-1)

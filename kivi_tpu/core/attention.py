@@ -271,13 +271,17 @@ def extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         att_q = jnp.where(pos_q >= pad, att_q, NEG_INF)
         att_w = jnp.where(win_w + cache.n_k_quant >= pad, att_w, NEG_INF)
         # self positions T0 + j can sit below pad only when the current
-        # chunk itself still contains pad slots (first chunk)
-        att_s = jnp.where(kj.reshape(1, 1, 1, T1, T1) + T0 >= pad,
-                          att_s, NEG_INF)
-        # causal self diagonal stays reachable even for fully-padded
-        # rows: re-open j == i so the softmax cannot empty
-        att_s = jnp.where((kj == qi).reshape(1, 1, 1, T1, T1),
-                          jnp.maximum(att_s, NEG_INF / 2), att_s)
+        # chunk itself still contains pad slots (first chunk).  The
+        # causal diagonal j == i is EXEMPT from the pad mask (kept at
+        # its true finite logit) so a fully-padded row's softmax cannot
+        # empty — folding the exemption into the predicate, not a
+        # mask-then-reopen maximum(): XLA may fuse the row-max reduce
+        # and the exp operand through differing rewrite paths, and two
+        # disagreeing (-1e30-scale) copies of the diagonal turn
+        # exp(att - max) into inf/inf = NaN under jit.
+        keep = ((kj.reshape(1, 1, 1, T1, T1) + T0 >= pad)
+                | (kj == qi).reshape(1, 1, 1, T1, T1))
+        att_s = jnp.where(keep, att_s, NEG_INF)
 
     # ---- softmax over the concatenation (fp32) -------------------------
     att = jnp.concatenate([att_q, att_w, att_s], axis=-1) * sm_scale

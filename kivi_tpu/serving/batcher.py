@@ -80,7 +80,8 @@ class ContinuousBatcher:
 
     def __init__(self, cfg: ModelConfig, qcfg: QuantConfig, params,
                  num_slots: int, max_seq_len: int, impl: str = "jnp",
-                 prompt_buckets=(128, 256, 512, 1024, 2048, 4096)):
+                 prompt_buckets=(128, 256, 512, 1024, 2048, 4096),
+                 prefill_chunk: int = 0):
         self.cfg, self.qcfg, self.params = cfg, qcfg, params
         self.S, self.T = num_slots, max_seq_len
         self.impl = impl
@@ -89,6 +90,19 @@ class ContinuousBatcher:
         # configured bucket used to crash _admit mid-run)
         buckets = tuple(b for b in prompt_buckets if b < max_seq_len)
         self.prompt_buckets = buckets + (max_seq_len,)
+        # prefill_chunk > 0: admission prefills in fixed chunks through
+        # the extend path instead of per-bucket one-shot jits — TWO
+        # compilations (empty-cache chunk + interior phase) cover every
+        # prompt length, where buckets pay a 20-40 s TPU compile each
+        # the first time traffic hits them.  Chunks past the first
+        # attend already-quantized history (KIVI-approximate, like
+        # decode); pad granularity C beats power-of-two buckets.
+        if prefill_chunk and qcfg.quantize_kv:
+            from kivi_tpu.serving.engine import phase_period
+            L = phase_period(qcfg)
+            if prefill_chunk % L:
+                prefill_chunk += L - prefill_chunk % L
+        self.prefill_chunk = prefill_chunk
 
         # slot-axis caches: one single-sequence cache vmapped over slots
         one = lambda: modeling.init_caches(cfg, qcfg, 1, max_seq_len)
@@ -120,6 +134,8 @@ class ContinuousBatcher:
         self.rng = jax.random.PRNGKey(0)
 
         self._prefills: Dict[int, Callable] = {}
+        self._extend_chunk = self._make_extend_chunk()
+        self._first_token = self._make_first_token()
         self._decode = jax.jit(functools.partial(
             self._decode_all, cfg=cfg, qcfg=qcfg, impl=impl),
             donate_argnums=(3,))
@@ -149,6 +165,45 @@ class ContinuousBatcher:
             return nxt, cache, seen
 
         return jax.jit(fn)
+
+    def _make_extend_chunk(self):
+        """One chunked-prefill step (engine._extend_fn's shape): the
+        chunk position rides in traced for RoPE, prev_len is its static
+        canonical phase, pad is the whole prompt's left-pad."""
+        cfg, qcfg, impl = self.cfg, self.qcfg, self.impl
+
+        @functools.partial(jax.jit, static_argnames=("prev_len",),
+                           donate_argnums=(3,))
+        def fn(params, chunk, pos0, cache, pad, *, prev_len):
+            B, T1 = chunk.shape
+            positions = jnp.maximum(
+                pos0 + jnp.arange(T1, dtype=jnp.int32)[None, :]
+                - pad[:, None], 0)
+            logits, cache = modeling.forward(
+                params, chunk, cache, cfg, qcfg, positions,
+                mode="extend", impl=impl, last_only=True,
+                prev_len=prev_len, pad_len=pad)
+            return logits[:, -1, :], cache
+
+        return fn
+
+    def _make_first_token(self):
+        """Sample the admitted request's first token from chunked-
+        prefill logits (the tail of _make_prefill's fn, split out so
+        the chunk loop stays sampling-free)."""
+        cfg = self.cfg
+
+        @jax.jit
+        def fn(logits, tokens, pad, key, temp, topk, topp, pen):
+            from kivi_tpu.serving import sampling
+            seen = sampling.seen_mask_from_prompt(tokens, cfg.vocab_size,
+                                                  pad_len=pad)
+            lg = sampling.apply_repetition_penalty_per_row(logits, seen,
+                                                           pen)
+            nxt = sampling.sample_step_per_row(lg, key, temp, topk, topp)
+            return nxt, seen
+
+        return fn
 
     @staticmethod
     def _decode_all(params, tok, pos, caches, active, pads, rng, temps,
@@ -191,21 +246,30 @@ class ContinuousBatcher:
     def submit(self, req: Request):
         self.queue.append(req)
 
+    def _bucket_for(self, n: int) -> Optional[int]:
+        """Padded prompt length for an n-token prompt: next multiple of
+        prefill_chunk in chunked mode, else the configured bucket; None
+        if it cannot fit the cache."""
+        if n > self.T:
+            return None
+        if self.prefill_chunk:
+            C = self.prefill_chunk
+            b = ((n + C - 1) // C) * C
+            return b if b <= self.T else None
+        return _bucket(n, self.prompt_buckets)
+
     def _admit(self):
         while self.queue and not self.active.all():
             req = self.queue[0]
             # cache usage is bucket + max_new (pad slots occupy cache
             # positions), so admission must check the BUCKETED length
-            bucket = (None if len(req.prompt) > self.T
-                      else _bucket(len(req.prompt), self.prompt_buckets))
+            bucket = self._bucket_for(len(req.prompt))
             if bucket is None or bucket + req.max_new_tokens > self.T:
                 self.queue.popleft()
                 self.results[req.uid] = Result(req.uid, [])  # rejected
                 continue
             slot = int(np.argmin(self.active))
             req = self.queue.popleft()
-            if bucket not in self._prefills:
-                self._prefills[bucket] = self._make_prefill(bucket)
             # Prompts are LEFT-padded to the bucket and the pad count is
             # carried as an attention lower bound through every forward
             # (modeling.forward pad_len), so a batched request's output
@@ -219,13 +283,29 @@ class ContinuousBatcher:
             cache1 = jax.tree_util.tree_map(
                 lambda a: jnp.zeros(a.shape[1:], a.dtype), self.caches)
             self.rng, sub = jax.random.split(self.rng)
-            nxt, cache1, seen0 = self._prefills[bucket](
-                self.params, jnp.asarray([padded], jnp.int32), cache1,
-                jnp.asarray([pad], jnp.int32), sub,
-                jnp.asarray([req.temperature], jnp.float32),
-                jnp.asarray([req.top_k], jnp.int32),
-                jnp.asarray([req.top_p], jnp.float32),
-                jnp.asarray([req.repetition_penalty], jnp.float32))
+            temp = jnp.asarray([req.temperature], jnp.float32)
+            topk = jnp.asarray([req.top_k], jnp.int32)
+            topp = jnp.asarray([req.top_p], jnp.float32)
+            pen = jnp.asarray([req.repetition_penalty], jnp.float32)
+            toks = jnp.asarray([padded], jnp.int32)
+            padv = jnp.asarray([pad], jnp.int32)
+            if self.prefill_chunk:
+                from kivi_tpu.serving.engine import canonical_phase
+                C = self.prefill_chunk
+                logits = None
+                for t0 in range(0, bucket, C):
+                    logits, cache1 = self._extend_chunk(
+                        self.params, toks[:, t0:t0 + C],
+                        jnp.full((), t0, jnp.int32), cache1, padv,
+                        prev_len=canonical_phase(self.qcfg, t0))
+                nxt, seen0 = self._first_token(logits, toks, padv, sub,
+                                               temp, topk, topp, pen)
+            else:
+                if bucket not in self._prefills:
+                    self._prefills[bucket] = self._make_prefill(bucket)
+                nxt, cache1, seen0 = self._prefills[bucket](
+                    self.params, toks, cache1, padv, sub, temp, topk,
+                    topp, pen)
             # write slot state
             self.caches = jax.tree_util.tree_map(
                 lambda big, one: jax.lax.dynamic_update_index_in_dim(

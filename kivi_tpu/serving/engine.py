@@ -25,6 +25,29 @@ from kivi_tpu.config import ModelConfig, QuantConfig
 from kivi_tpu.models import modeling
 
 
+def canonical_phase(qcfg: QuantConfig, prompt_len: int) -> int:
+    """Canonicalize a static token count to its quantization phase:
+    flush schedules and prefill_extend's split arithmetic depend only
+    on prompt_len mod lcm(W, v_flush) (plus the <= W edge), so callers
+    at a later position with the same phase reuse the compilation
+    instead of recompiling per call site."""
+    if not qcfg.quantize_kv:
+        return 0                    # only gates flush/split scheduling
+    if prompt_len > 0:
+        W, vf = qcfg.residual_length, qcfg.value_flush
+        L = W * vf // math.gcd(W, vf)
+        if prompt_len > W + L:
+            prompt_len = W + 1 + (prompt_len - W - 1) % L
+    return prompt_len
+
+
+def phase_period(qcfg: QuantConfig) -> int:
+    """lcm(W, v_flush): chunk sizes that are a multiple of this keep
+    every interior chunk of a chunked prefill on one phase."""
+    W, vf = qcfg.residual_length, qcfg.value_flush
+    return W * vf // math.gcd(W, vf)
+
+
 @dataclasses.dataclass
 class PrefixSnapshot:
     """A prefilled shared prompt prefix: batch-1 per-layer caches plus
@@ -107,20 +130,7 @@ class Engine:
                                      repetition_penalty=repetition_penalty)
 
     def _canonical_phase(self, prompt_len: int) -> int:
-        """Canonicalize a static token count to its quantization phase:
-        flush schedules and prefill_extend's split arithmetic depend
-        only on prompt_len mod lcm(W, v_flush) (plus the <= W edge), so
-        callers at a later position with the same phase reuse the
-        compilation instead of recompiling per call site."""
-        qcfg = self.qcfg
-        if not qcfg.quantize_kv:
-            return 0                # only gates flush/split scheduling
-        if prompt_len > 0:
-            W, vf = qcfg.residual_length, qcfg.value_flush
-            L = W * vf // math.gcd(W, vf)
-            if prompt_len > W + L:
-                prompt_len = W + 1 + (prompt_len - W - 1) % L
-        return prompt_len
+        return canonical_phase(self.qcfg, prompt_len)
 
     def _extend_call(self, params, tokens, caches, prev_len: int,
                      pad=None):
@@ -417,8 +427,7 @@ class Engine:
         (B, V), caches)."""
         qcfg = self.qcfg
         if qcfg.quantize_kv:
-            W, vf = qcfg.residual_length, qcfg.value_flush
-            L = W * vf // math.gcd(W, vf)
+            L = phase_period(qcfg)
             if chunk_size % L:
                 # keep every interior chunk on the same phase
                 chunk_size += L - chunk_size % L

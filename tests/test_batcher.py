@@ -163,3 +163,54 @@ def test_batcher_repetition_penalty_matches_engine():
     # (the penalty TRANSFORM's HF semantics are pinned separately in
     # test_sampling.py; on a random-weight model a moderate penalty may
     # not flip any greedy token, so no trajectory-change assertion here)
+
+
+def test_batcher_chunked_admission_matches_bucketed_fp():
+    """prefill_chunk admission at fp16 must be token-equal to the
+    bucketed batcher: padding is numerically invisible on the fp cache,
+    so both pad amounts must yield identical trajectories."""
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=32,
+                       residual_length=32)
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    prompts = [list(rng.randint(1, CFG.vocab_size, size=n))
+               for n in (20, 45, 33)]
+    reqs = lambda: [Request(uid=i, prompt=p, max_new_tokens=7)
+                    for i, p in enumerate(prompts)]
+
+    bucketed = ContinuousBatcher(CFG, qcfg, params, num_slots=2,
+                                 max_seq_len=MAX, prompt_buckets=BUCKETS)
+    chunked = ContinuousBatcher(CFG, qcfg, params, num_slots=2,
+                                max_seq_len=MAX, prefill_chunk=16)
+    want = bucketed.run(reqs())
+    got = chunked.run(reqs())
+    for uid in (0, 1, 2):
+        assert got[uid].tokens == want[uid].tokens, uid
+    # the chunked admission's extend jit served every prompt length
+    # with two compilations (empty-cache chunk + interior phase)
+    assert chunked._extend_chunk._cache_size() <= 2
+
+
+def test_batcher_chunked_admission_2bit_runs():
+    """2-bit chunked admission: trajectories are valid and the engine's
+    chunked generate with the same pad is the bit-oracle (same chunk
+    layout, same masks, slot interleaving must change nothing)."""
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    prompt = list(np.random.RandomState(5).randint(
+        1, CFG.vocab_size, size=40))
+    C = 32
+    bat = ContinuousBatcher(CFG, QCFG, params, num_slots=1,
+                            max_seq_len=MAX, prefill_chunk=C)
+    got = bat.run([Request(uid=0, prompt=prompt,
+                           max_new_tokens=8)])[0].tokens
+
+    pad = C * ((len(prompt) + C - 1) // C) - len(prompt)
+    eng = Engine(cfg=CFG, qcfg=QCFG, params=params, max_seq_len=MAX,
+                 batch_size=1)
+    eng.cache_dtype = jnp.bfloat16
+    want = [int(t) for t in np.asarray(eng.generate(
+        jnp.asarray([[0] * pad + prompt], jnp.int32), 8,
+        pad_lens=[pad], prefill_chunk_size=C)[0])]
+    assert got == want, (got, want)

@@ -228,28 +228,68 @@ def extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
     T0 = cache.seq_len                                   # traced i32
 
     qg = q.reshape(B, Hkv, r, T1, D).astype(jnp.float32)
-
-    # ---- QK^T: quantized half (rows folded for the kernel) -----------
-    pos_q = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, Tmax), 4)
     if impl == "pallas":
-        from kivi_tpu.kernels import qk_dequant_matmul
-        att_q = qk_dequant_matmul(
-            qg.reshape(B, Hkv, r * T1, D), cache.k_codes, cache.k_scale,
-            cache.k_mn, qcfg.group_size, qcfg.k_bits,
-            n_quant=cache.n_k_quant).reshape(B, Hkv, r, T1, Tmax)
-    else:
-        k_deq = Q.dequantize_k(cache.k_codes, cache.k_scale, cache.k_mn,
-                               qcfg.group_size, qcfg.k_bits)
-        att_q = jnp.einsum("bhrqd,bhdt->bhrqt", qg, k_deq)
-        att_q = jnp.where(pos_q < cache.n_k_quant, att_q, NEG_INF)
+        return _extend_attention_flash(qg, k_new, v_new, cache, qcfg,
+                                       sliding_window=sliding_window,
+                                       pad_len=pad_len)
 
-    # ---- QK^T: fp window half ----------------------------------------
+    att_w, att_s = _extend_ws_logits(qg, k_new, cache,
+                                     sliding_window=sliding_window,
+                                     pad_len=pad_len)
+
+    # ---- QK^T: quantized half ----------------------------------------
+    pos_q = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, Tmax), 4)
+    k_deq = Q.dequantize_k(cache.k_codes, cache.k_scale, cache.k_mn,
+                           qcfg.group_size, qcfg.k_bits)
+    att_q = jnp.einsum("bhrqd,bhdt->bhrqt", qg, k_deq)
+    att_q = jnp.where(pos_q < cache.n_k_quant, att_q, NEG_INF)
+    if sliding_window is not None:
+        lo = (T0 + jnp.arange(T1, dtype=jnp.int32)
+              - (sliding_window - 1)).reshape(1, 1, 1, T1, 1)
+        att_q = jnp.where(pos_q >= lo, att_q, NEG_INF)
+    if pad_len is not None:
+        att_q = jnp.where(pos_q >= pad_len.reshape(B, 1, 1, 1, 1),
+                          att_q, NEG_INF)
+
+    # ---- softmax over the concatenation (fp32) -------------------------
+    att = jnp.concatenate([att_q, att_w, att_s], axis=-1) * sm_scale
+    att = att - jax.lax.stop_gradient(jnp.max(att, axis=-1, keepdims=True))
+    p = jnp.exp(att)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    p_a = p[..., :Tmax]
+    p_b = p[..., Tmax:Tmax + W]
+    p_s = p[..., Tmax + W:]
+
+    # ---- PV: quantized half --------------------------------------------
+    p_vq = jnp.where(pos_q < cache.n_v_quant, p_a, 0.0)
+    v_deq = Q.dequantize_v(cache.v_codes, cache.v_scale, cache.v_mn,
+                           qcfg.group_size, qcfg.v_bits)
+    out_q = jnp.einsum("bhrqt,bhtd->bhrqd", p_vq, v_deq)
+
+    # ---- PV: fp window half (position-routed) + self half --------------
+    p_vw = _gather_v_window_probs(p_a, p_b, cache, W)
+    out_w = jnp.einsum("bhrqw,bhwd->bhrqd", p_vw,
+                       cache.v_win.astype(jnp.float32))
+    out_s = jnp.einsum("bhrqj,bhjd->bhrqd", p_s,
+                       v_new.astype(jnp.float32))
+    return (out_q + out_w + out_s).reshape(B, Hq, T1, D)
+
+
+def _extend_ws_logits(qg, k_new, cache: KiviLayerCache, *,
+                      sliding_window, pad_len):
+    """The window + causal-self logit halves of extend attention,
+    masked with NEG_INF (UNSCALED): shared between the jnp oracle path
+    and the flash-kernel path (which computes only the quantized half
+    in-kernel)."""
+    B, Hkv, r, T1, D = qg.shape
+    W = cache.k_win.shape[2]
+    T0 = cache.seq_len
+
     win_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, W), 4)
     att_w = jnp.einsum("bhrqd,bhwd->bhrqw", qg,
                        cache.k_win.astype(jnp.float32))
     att_w = jnp.where(win_w < cache.n_k_win, att_w, NEG_INF)
 
-    # ---- QK^T: causal self half ----------------------------------------
     att_s = jnp.einsum("bhrqd,bhjd->bhrqj", qg,
                        k_new.astype(jnp.float32))
     qi = jax.lax.broadcasted_iota(jnp.int32, (T1, T1), 0)
@@ -258,17 +298,15 @@ def extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 
     if sliding_window is not None:
         # query i sits at position T0 + i and attends positions
-        # > T0 + i - sliding_window across all three halves
+        # > T0 + i - sliding_window across all halves
         lo = (T0 + jnp.arange(T1, dtype=jnp.int32)
               - (sliding_window - 1)).reshape(1, 1, 1, T1, 1)
-        att_q = jnp.where(pos_q >= lo, att_q, NEG_INF)
         att_w = jnp.where(win_w + cache.n_k_quant >= lo, att_w, NEG_INF)
         att_s = jnp.where(kj.reshape(1, 1, 1, T1, T1) + T0 >= lo,
                           att_s, NEG_INF)
 
     if pad_len is not None:
         pad = pad_len.reshape(B, 1, 1, 1, 1)
-        att_q = jnp.where(pos_q >= pad, att_q, NEG_INF)
         att_w = jnp.where(win_w + cache.n_k_quant >= pad, att_w, NEG_INF)
         # self positions T0 + j can sit below pad only when the current
         # chunk itself still contains pad slots (first chunk).  The
@@ -282,36 +320,72 @@ def extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
         keep = ((kj.reshape(1, 1, 1, T1, T1) + T0 >= pad)
                 | (kj == qi).reshape(1, 1, 1, T1, T1))
         att_s = jnp.where(keep, att_s, NEG_INF)
+    return att_w, att_s
 
-    # ---- softmax over the concatenation (fp32) -------------------------
-    att = jnp.concatenate([att_q, att_w, att_s], axis=-1) * sm_scale
-    att = att - jax.lax.stop_gradient(jnp.max(att, axis=-1, keepdims=True))
-    p = jnp.exp(att)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    p_a = p[..., :Tmax]
-    p_b = p[..., Tmax:Tmax + W]
-    p_s = p[..., Tmax + W:]
 
-    # ---- PV: quantized half --------------------------------------------
-    p_vq = jnp.where(pos_q < cache.n_v_quant, p_a, 0.0)
-    if impl == "pallas":
-        from kivi_tpu.kernels import pv_dequant_matmul
-        out_q = pv_dequant_matmul(
-            p_vq.reshape(B, Hkv, r * T1, Tmax), cache.v_codes,
-            cache.v_scale, cache.v_mn, qcfg.group_size, qcfg.v_bits,
-            n_quant=cache.n_v_quant).reshape(B, Hkv, r, T1, D)
-    else:
-        v_deq = Q.dequantize_v(cache.v_codes, cache.v_scale, cache.v_mn,
-                               qcfg.group_size, qcfg.v_bits)
-        out_q = jnp.einsum("bhrqt,bhtd->bhrqd", p_vq, v_deq)
+def _extend_attention_flash(qg, k_new, v_new, cache: KiviLayerCache,
+                            qcfg: QuantConfig, *, sliding_window,
+                            pad_len) -> jax.Array:
+    """Flash-kernel extend attention: the quantized history runs
+    through kernels/flash_extend.py with ONLINE softmax (no
+    O(T1 * Tmax) logits in HBM); the small window + self halves stay in
+    jnp and the three merge by the standard flash combination."""
+    from kivi_tpu.kernels.flash_extend import flash_extend_qhist
 
-    # ---- PV: fp window half (position-routed) + self half --------------
-    p_vw = _gather_v_window_probs(p_a, p_b, cache, W)
-    out_w = jnp.einsum("bhrqw,bhwd->bhrqd", p_vw,
-                       cache.v_win.astype(jnp.float32))
-    out_s = jnp.einsum("bhrqj,bhjd->bhrqd", p_s,
-                       v_new.astype(jnp.float32))
-    return (out_q + out_w + out_s).reshape(B, Hq, T1, D)
+    B, Hkv, r, T1, D = qg.shape
+    W = qcfg.residual_length
+    Tmax = cache.max_seq_len
+    sm_scale = 1.0 / (D ** 0.5)
+    nkq, nvq = cache.n_k_quant, cache.n_v_quant
+
+    acc_q, m_q, l_q = flash_extend_qhist(
+        qg.reshape(B, Hkv, r * T1, D), cache.k_codes, cache.k_scale,
+        cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
+        cache.v_win, nkq, nvq, cache.seq_len,
+        group_size=qcfg.group_size, k_bits=qcfg.k_bits,
+        v_bits=qcfg.v_bits, t1=T1,
+        sliding_window=sliding_window or 0, pad_len=pad_len)
+    acc_q = acc_q.reshape(B, Hkv, r, T1, D)
+    m_q = m_q.reshape(B, Hkv, r, T1, 1)
+    l_q = l_q.reshape(B, Hkv, r, T1, 1)
+
+    att_w, att_s = _extend_ws_logits(qg, k_new, cache,
+                                     sliding_window=sliding_window,
+                                     pad_len=pad_len)
+    s2 = jnp.concatenate([att_w, att_s], axis=-1) * sm_scale
+
+    # V columns behind the window logits: absolute position nkq + w
+    # reads the quantized store while < nvq (dequantize the W-token
+    # slice at nkq — W-aligned by the cache invariant, clamped at the
+    # full-cache edge), else v_win row (nkq + w) - nvq (shift the
+    # window rows by delta through a 2W zero-padded buffer).  Rows
+    # whose logits are masked carry zero probability, so junk rows in
+    # either source are weightless.
+    nkq_al = jnp.minimum(nkq, Tmax - W)
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, nkq_al, W, axis=-1)
+    vq_rows = Q.dequantize_v(sl(cache.v_codes), sl(cache.v_scale),
+                             sl(cache.v_mn), qcfg.group_size,
+                             qcfg.v_bits)                  # (B,H,W,D)
+    delta = nkq - nvq                                      # in [0, W]
+    vwin_pad = jnp.concatenate(
+        [cache.v_win.astype(jnp.float32),
+         jnp.zeros_like(cache.v_win, jnp.float32)], axis=2)
+    vwin_rows = jax.lax.dynamic_slice_in_dim(vwin_pad, delta, W, axis=2)
+    pos_w = nkq + jax.lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2)
+    vcols_w = jnp.where(pos_w < nvq, vq_rows, vwin_rows)   # (B,H,W,D)
+
+    # ---- flash merge of (kernel partial) + (window/self logits) -------
+    m2 = jnp.max(s2, axis=-1, keepdims=True)
+    m = jnp.maximum(m_q, m2)
+    a_q = jnp.exp(m_q - m)
+    p2 = jnp.exp(s2 - m)
+    l = l_q * a_q + jnp.sum(p2, axis=-1, keepdims=True)
+    out = acc_q * a_q
+    out += jnp.einsum("bhrqw,bhwd->bhrqd", p2[..., :W], vcols_w)
+    out += jnp.einsum("bhrqj,bhjd->bhrqd", p2[..., W:],
+                      v_new.astype(jnp.float32))
+    out = out / jnp.where(l > 0, l, 1.0)
+    return out.reshape(B, Hkv * r, T1, D)
 
 
 def prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,

@@ -81,7 +81,7 @@ class ContinuousBatcher:
     def __init__(self, cfg: ModelConfig, qcfg: QuantConfig, params,
                  num_slots: int, max_seq_len: int, impl: str = "jnp",
                  prompt_buckets=(128, 256, 512, 1024, 2048, 4096),
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0, prefix=None):
         self.cfg, self.qcfg, self.params = cfg, qcfg, params
         self.S, self.T = num_slots, max_seq_len
         self.impl = impl
@@ -103,6 +103,15 @@ class ContinuousBatcher:
             if prefill_chunk % L:
                 prefill_chunk += L - prefill_chunk % L
         self.prefill_chunk = prefill_chunk
+        # prefix: an Engine.prefill_prefix PrefixSnapshot SHARED by every
+        # request (system-prompt serving).  Admission clones the
+        # snapshot's batch-1 caches into the slot and ingests ONLY the
+        # request's own tokens: whole prefill_chunk-sized chunks through
+        # the extend jit, the ragged tail token-by-token through a
+        # single-request decode jit (teacher-forced) — no pads, no
+        # per-length compilations, prefix prefill FLOPs paid once per
+        # PROCESS instead of once per request.
+        self.prefix = prefix
 
         # slot-axis caches: one single-sequence cache vmapped over slots
         one = lambda: modeling.init_caches(cfg, qcfg, 1, max_seq_len)
@@ -136,6 +145,7 @@ class ContinuousBatcher:
         self._prefills: Dict[int, Callable] = {}
         self._extend_chunk = self._make_extend_chunk()
         self._first_token = self._make_first_token()
+        self._admit_decode = self._make_admit_decode()
         self._decode = jax.jit(functools.partial(
             self._decode_all, cfg=cfg, qcfg=qcfg, impl=impl),
             donate_argnums=(3,))
@@ -176,9 +186,11 @@ class ContinuousBatcher:
                            donate_argnums=(3,))
         def fn(params, chunk, pos0, cache, pad, *, prev_len):
             B, T1 = chunk.shape
-            positions = jnp.maximum(
-                pos0 + jnp.arange(T1, dtype=jnp.int32)[None, :]
-                - pad[:, None], 0)
+            positions = jnp.broadcast_to(
+                pos0 + jnp.arange(T1, dtype=jnp.int32)[None, :],
+                (B, T1))
+            if pad is not None:
+                positions = jnp.maximum(positions - pad[:, None], 0)
             logits, cache = modeling.forward(
                 params, chunk, cache, cfg, qcfg, positions,
                 mode="extend", impl=impl, last_only=True,
@@ -188,20 +200,34 @@ class ContinuousBatcher:
         return fn
 
     def _make_first_token(self):
-        """Sample the admitted request's first token from chunked-
-        prefill logits (the tail of _make_prefill's fn, split out so
-        the chunk loop stays sampling-free)."""
-        cfg = self.cfg
+        """Sample the admitted request's first token (the tail of
+        _make_prefill's fn, split out so the chunk loop stays
+        sampling-free).  seen: (1, V) bool penalty mask — computed
+        HOST-side from the raw token list, so its jit is shape-stable
+        across every prompt/prefix length."""
 
         @jax.jit
-        def fn(logits, tokens, pad, key, temp, topk, topp, pen):
+        def fn(logits, seen, key, temp, topk, topp, pen):
             from kivi_tpu.serving import sampling
-            seen = sampling.seen_mask_from_prompt(tokens, cfg.vocab_size,
-                                                  pad_len=pad)
             lg = sampling.apply_repetition_penalty_per_row(logits, seen,
                                                            pen)
             nxt = sampling.sample_step_per_row(lg, key, temp, topk, topp)
-            return nxt, seen
+            return nxt
+
+        return fn
+
+    def _make_admit_decode(self):
+        """Single-request teacher-forced decode step for the ragged
+        tail of a prefix admission: ingest one prompt token, return its
+        logits.  One compilation serves every tail length."""
+        cfg, qcfg, impl = self.cfg, self.qcfg, self.impl
+
+        @functools.partial(jax.jit, donate_argnums=(3,))
+        def fn(params, tok, pos, cache):
+            logits, cache = modeling.forward(
+                params, tok, cache, cfg, qcfg, pos, mode="decode",
+                impl=impl, last_only=True)
+            return logits[:, -1, :], cache
 
         return fn
 
@@ -258,61 +284,103 @@ class ContinuousBatcher:
             return b if b <= self.T else None
         return _bucket(n, self.prompt_buckets)
 
+    def _host_seen(self, token_lists) -> jnp.ndarray:
+        """(1, V) bool repetition-penalty mask over raw token lists —
+        host-side so no jit depends on the prompt length."""
+        seen = np.zeros((1, self.cfg.vocab_size), bool)
+        for toks in token_lists:
+            seen[0, np.asarray(toks, np.int64)] = True
+        return jnp.asarray(seen)
+
     def _admit(self):
+        from kivi_tpu.serving.engine import canonical_phase
+
+        P = self.prefix.length if self.prefix is not None else 0
         while self.queue and not self.active.all():
             req = self.queue[0]
-            # cache usage is bucket + max_new (pad slots occupy cache
-            # positions), so admission must check the BUCKETED length
-            bucket = self._bucket_for(len(req.prompt))
-            if bucket is None or bucket + req.max_new_tokens > self.T:
+            # cache usage is P + bucket + max_new (pad slots occupy
+            # cache positions), so admission checks the BUCKETED length
+            bucket = ((len(req.prompt) or None)
+                      if self.prefix is not None
+                      else self._bucket_for(len(req.prompt)))
+            if bucket is None or P + bucket + req.max_new_tokens > self.T:
                 self.queue.popleft()
                 self.results[req.uid] = Result(req.uid, [])  # rejected
                 continue
             slot = int(np.argmin(self.active))
             req = self.queue.popleft()
-            # Prompts are LEFT-padded to the bucket and the pad count is
-            # carried as an attention lower bound through every forward
-            # (modeling.forward pad_len), so a batched request's output
-            # is token-equal to the same prompt through the engine API —
-            # the reference's attention_mask plumbing
-            # (`models/llama_kivi.py:710-717`), reduced to a per-row
-            # bound because pad sits at positions [0, pad).
             prompt = list(req.prompt)
-            pad = bucket - len(prompt)
-            padded = [0] * pad + prompt
-            cache1 = jax.tree_util.tree_map(
-                lambda a: jnp.zeros(a.shape[1:], a.dtype), self.caches)
             self.rng, sub = jax.random.split(self.rng)
             temp = jnp.asarray([req.temperature], jnp.float32)
             topk = jnp.asarray([req.top_k], jnp.int32)
             topp = jnp.asarray([req.top_p], jnp.float32)
             pen = jnp.asarray([req.repetition_penalty], jnp.float32)
-            toks = jnp.asarray([padded], jnp.int32)
-            padv = jnp.asarray([pad], jnp.int32)
-            if self.prefill_chunk:
-                from kivi_tpu.serving.engine import canonical_phase
+            if self.prefix is not None:
+                # shared-prefix admission: clone the snapshot, ingest
+                # ONLY this request's tokens — whole prefill_chunk
+                # chunks through the extend jit, the ragged tail
+                # token-by-token (teacher-forced) through the admit
+                # decode jit.  No pads anywhere, no per-length compiles.
+                pad = 0
+                cache1 = jax.tree_util.tree_map(
+                    lambda x: x.copy(), self.prefix.caches)
+                toks = jnp.asarray([prompt], jnp.int32)
                 C = self.prefill_chunk
-                logits = None
-                for t0 in range(0, bucket, C):
+                i, logits = 0, None
+                while C and len(prompt) - i >= C:
                     logits, cache1 = self._extend_chunk(
-                        self.params, toks[:, t0:t0 + C],
-                        jnp.full((), t0, jnp.int32), cache1, padv,
-                        prev_len=canonical_phase(self.qcfg, t0))
-                nxt, seen0 = self._first_token(logits, toks, padv, sub,
-                                               temp, topk, topp, pen)
+                        self.params, toks[:, i:i + C],
+                        jnp.full((), P + i, jnp.int32), cache1, None,
+                        prev_len=canonical_phase(self.qcfg, P + i))
+                    i += C
+                for j in range(i, len(prompt)):
+                    logits, cache1 = self._admit_decode(
+                        self.params, toks[:, j:j + 1],
+                        jnp.asarray([[P + j]], jnp.int32), cache1)
+                seen0 = self._host_seen(
+                    [np.asarray(self.prefix.tokens[0]), prompt])
+                nxt = self._first_token(logits, seen0, sub, temp, topk,
+                                        topp, pen)
             else:
-                if bucket not in self._prefills:
-                    self._prefills[bucket] = self._make_prefill(bucket)
-                nxt, cache1, seen0 = self._prefills[bucket](
-                    self.params, toks, cache1, padv, sub, temp, topk,
-                    topp, pen)
+                # Prompts are LEFT-padded to the bucket and the pad
+                # count is carried as an attention lower bound through
+                # every forward (modeling.forward pad_len), so a
+                # batched request's output is token-equal to the same
+                # prompt through the engine API — the reference's
+                # attention_mask plumbing (`models/llama_kivi.py:
+                # 710-717`), reduced to a per-row bound because pad
+                # sits at positions [0, pad).
+                pad = bucket - len(prompt)
+                padded = [0] * pad + prompt
+                cache1 = jax.tree_util.tree_map(
+                    lambda a: jnp.zeros(a.shape[1:], a.dtype),
+                    self.caches)
+                toks = jnp.asarray([padded], jnp.int32)
+                padv = jnp.asarray([pad], jnp.int32)
+                if self.prefill_chunk:
+                    C = self.prefill_chunk
+                    logits = None
+                    for t0 in range(0, bucket, C):
+                        logits, cache1 = self._extend_chunk(
+                            self.params, toks[:, t0:t0 + C],
+                            jnp.full((), t0, jnp.int32), cache1, padv,
+                            prev_len=canonical_phase(self.qcfg, t0))
+                    seen0 = self._host_seen([prompt])
+                    nxt = self._first_token(logits, seen0, sub, temp,
+                                            topk, topp, pen)
+                else:
+                    if bucket not in self._prefills:
+                        self._prefills[bucket] = self._make_prefill(bucket)
+                    nxt, cache1, seen0 = self._prefills[bucket](
+                        self.params, toks, cache1, padv, sub, temp,
+                        topk, topp, pen)
             # write slot state
             self.caches = jax.tree_util.tree_map(
                 lambda big, one: jax.lax.dynamic_update_index_in_dim(
                     big, one, slot, 0), self.caches, cache1)
             self.cur_tok = self.cur_tok.at[slot, 0].set(nxt[0])
             # rope position of the first generated token = true length
-            self.pos = self.pos.at[slot, 0].set(len(prompt))
+            self.pos = self.pos.at[slot, 0].set(P + len(prompt))
             self.pad_dev = self.pad_dev.at[slot].set(pad)
             self.act_dev = self.act_dev.at[slot].set(True)
             self.temp_dev = self.temp_dev.at[slot].set(req.temperature)

@@ -214,3 +214,72 @@ def test_batcher_chunked_admission_2bit_runs():
         jnp.asarray([[0] * pad + prompt], jnp.int32), 8,
         pad_lens=[pad], prefill_chunk_size=C)[0])]
     assert got == want, (got, want)
+
+
+def test_batcher_shared_prefix_matches_engine_fp():
+    """Batcher-wide shared prefix (system-prompt serving): each
+    request's trajectory must be token-equal to the engine's
+    generate(prefix=snapshot) on the same suffix — fp16 cache, so the
+    chunk+decode-tail admission must be numerically invisible.
+    Suffixes exercise: pure decode-tail (7 < chunk), chunk + tail
+    (20 = 16 + 4), exact chunk multiple (32)."""
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=32,
+                       residual_length=32)
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    rng = np.random.RandomState(11)
+    prefix_toks = jnp.asarray(rng.randint(1, CFG.vocab_size, 40),
+                              jnp.int32)
+    eng = Engine(cfg=CFG, qcfg=qcfg, params=params, max_seq_len=MAX,
+                 batch_size=1)
+    eng.cache_dtype = jnp.bfloat16   # match the batcher's cache dtype
+    snap = eng.prefill_prefix(prefix_toks)
+
+    prompts = [list(rng.randint(1, CFG.vocab_size, n))
+               for n in (7, 20, 32)]
+    bat = ContinuousBatcher(CFG, qcfg, params, num_slots=2,
+                            max_seq_len=MAX, prefill_chunk=16,
+                            prefix=snap)
+    results = bat.run([Request(uid=i, prompt=p, max_new_tokens=6)
+                       for i, p in enumerate(prompts)])
+    for i, p in enumerate(prompts):
+        want = [int(t) for t in np.asarray(eng.generate(
+            jnp.asarray([p], jnp.int32), 6, prefix=snap)[0])]
+        assert results[i].tokens == want, (i, results[i].tokens, want)
+
+
+def test_batcher_shared_prefix_2bit_and_rejection():
+    """2-bit shared-prefix serving: valid deterministic trajectories;
+    requests that cannot fit prefix+prompt+max_new are rejected with an
+    empty Result; repetition penalty covers PREFIX tokens."""
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    rng = np.random.RandomState(12)
+    prefix_toks = jnp.asarray(rng.randint(1, CFG.vocab_size, 64),
+                              jnp.int32)
+    eng = Engine(cfg=CFG, qcfg=QCFG, params=params, max_seq_len=MAX,
+                 batch_size=1)
+    eng.cache_dtype = jnp.bfloat16
+    snap = eng.prefill_prefix(prefix_toks)
+
+    bat = ContinuousBatcher(CFG, QCFG, params, num_slots=2,
+                            max_seq_len=MAX, prefill_chunk=32,
+                            prefix=snap)
+    p_ok = list(rng.randint(1, CFG.vocab_size, 40))
+    p_big = list(rng.randint(1, CFG.vocab_size, MAX - 64))  # can't fit
+    results = bat.run([
+        Request(uid=0, prompt=p_ok, max_new_tokens=8,
+                repetition_penalty=1.5),
+        Request(uid=1, prompt=p_big, max_new_tokens=8),
+        Request(uid=2, prompt=list(p_ok), max_new_tokens=8,
+                repetition_penalty=1.5),
+    ])
+    assert results[1].tokens == []                    # rejected
+    assert len(results[0].tokens) == 8
+    assert results[0].tokens == results[2].tokens     # deterministic
+    assert all(0 <= t < CFG.vocab_size for t in results[0].tokens)
+
+    want = [int(t) for t in np.asarray(eng.generate(
+        jnp.asarray([p_ok], jnp.int32), 8, prefix=snap,
+        repetition_penalty=1.5)[0])]
+    assert results[0].tokens == want

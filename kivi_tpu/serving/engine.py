@@ -65,6 +65,58 @@ class PrefixSnapshot:
         return self.tokens.shape[1]
 
 
+def save_prefix_snapshot(path: str, snap: "PrefixSnapshot") -> None:
+    """Persist a PrefixSnapshot (orbax) so a cached system prompt
+    survives process restarts and can be shared across serving
+    replicas — at 2-bit the on-disk prefix is 4-8x smaller than fp16
+    K/V.  Layout: <path>/meta.json (layer count + field names) and
+    <path>/state (orbax tree of tokens + per-layer field dicts).  The
+    reference has no cache persistence at all (its KV state dies with
+    the `generate()` call)."""
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    layers = [{f.name: getattr(c, f.name)
+               for f in dataclasses.fields(c)} for c in snap.caches]
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"num_layers": len(layers),
+                   "fields": sorted(layers[0].keys())}, f)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(os.path.abspath(path), "state"),
+               {"tokens": snap.tokens,
+                "layers": {str(i): d for i, d in enumerate(layers)}})
+    ckptr.wait_until_finished()
+
+
+def load_prefix_snapshot(path: str) -> "PrefixSnapshot":
+    """Restore a snapshot written by save_prefix_snapshot.  The caller
+    is responsible for loading it into an Engine with the same cfg,
+    qcfg, cache dtype and max_seq_len it was built with (shape/dtype
+    mismatches surface on first use)."""
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from kivi_tpu.cache.fp_cache import FpLayerCache
+    from kivi_tpu.cache.kivi_cache import KiviLayerCache
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.join(os.path.abspath(path), "state"))
+    caches = []
+    for i in range(meta["num_layers"]):
+        d = state["layers"][str(i)]
+        cls = KiviLayerCache if "k_codes" in d else FpLayerCache
+        caches.append(cls(**{k: jnp.asarray(v) for k, v in d.items()}))
+    return PrefixSnapshot(caches=caches,
+                          tokens=jnp.asarray(state["tokens"]))
+
+
 @dataclasses.dataclass
 class Engine:
     cfg: ModelConfig

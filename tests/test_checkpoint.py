@@ -54,3 +54,64 @@ def test_checkpoint_restore_sharded(tmp_path):
     logits, _ = modeling.forward(params2, toks, caches, cfg2, qcfg, pos,
                                  mode="prefill")
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_prefix_snapshot_roundtrip(tmp_path):
+    """A cached system prompt survives a process restart: save/load the
+    PrefixSnapshot and generation from the restored snapshot must be
+    token-equal (the restored arrays ARE the saved arrays)."""
+    from kivi_tpu.config import QuantConfig
+    from kivi_tpu.serving.engine import (Engine, load_prefix_snapshot,
+                                         save_prefix_snapshot)
+
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=32)
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    eng = Engine(cfg=CFG, qcfg=qcfg, params=params, max_seq_len=256,
+                 batch_size=2)
+    rng = np.random.default_rng(0)
+    prefix = jnp.asarray(rng.integers(1, CFG.vocab_size, 70), jnp.int32)
+    snap = eng.prefill_prefix(prefix)
+    save_prefix_snapshot(str(tmp_path / "snap"), snap)
+    back = load_prefix_snapshot(str(tmp_path / "snap"))
+
+    assert back.length == snap.length
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32)),
+        snap.caches, back.caches)
+    for a, b in zip(jax.tree_util.tree_leaves(snap.caches),
+                    jax.tree_util.tree_leaves(back.caches)):
+        assert a.dtype == b.dtype
+
+    suffix = jnp.asarray(rng.integers(1, CFG.vocab_size, (2, 9)),
+                         jnp.int32)
+    want = np.asarray(eng.generate(suffix, 8, prefix=snap))
+    got = np.asarray(eng.generate(suffix, 8, prefix=back))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_prefix_snapshot_roundtrip_fp(tmp_path):
+    """fp16-cache snapshots round trip too (FpLayerCache rebuild)."""
+    from kivi_tpu.config import QuantConfig
+    from kivi_tpu.serving.engine import (Engine, load_prefix_snapshot,
+                                         save_prefix_snapshot)
+
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=32,
+                       residual_length=32)
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    eng = Engine(cfg=CFG, qcfg=qcfg, params=params, max_seq_len=128,
+                 batch_size=1)
+    prefix = jnp.arange(1, 41, dtype=jnp.int32)
+    snap = eng.prefill_prefix(prefix)
+    save_prefix_snapshot(str(tmp_path / "snap"), snap)
+    back = load_prefix_snapshot(str(tmp_path / "snap"))
+    from kivi_tpu.cache.fp_cache import FpLayerCache
+    assert all(isinstance(c, FpLayerCache) for c in back.caches)
+    want = np.asarray(eng.generate(jnp.asarray([[5, 6]], jnp.int32), 6,
+                                   prefix=snap))
+    got = np.asarray(eng.generate(jnp.asarray([[5, 6]], jnp.int32), 6,
+                                  prefix=back))
+    np.testing.assert_array_equal(got, want)

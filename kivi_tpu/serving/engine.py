@@ -634,7 +634,9 @@ class Engine:
     def generate_beam(self, tokens: jax.Array, max_new_tokens: int,
                       num_beams: int, eos_token_id: int = -1,
                       length_penalty: float = 1.0,
-                      pad_lens=None) -> jax.Array:
+                      pad_lens=None,
+                      prefix: Optional[PrefixSnapshot] = None
+                      ) -> jax.Array:
         """Beam-search generation: tokens (B, T) -> (B, max_new_tokens).
 
         The engine must be built with batch_size == B * num_beams (the
@@ -642,24 +644,35 @@ class Engine:
         gather each step — see kivi_cache.reorder).  eos_token_id=-1
         disables EOS (pure max-likelihood beams of fixed length).
         length_penalty follows HF convention: score / length**penalty.
+        prefix: as in generate() — tokens are each request's suffix and
+        every beam shares the broadcast snapshot.
         """
         B, T = tokens.shape
         nb = num_beams
         assert B * nb == self.batch_size, (
             f"engine batch_size {self.batch_size} != B*num_beams {B * nb}")
-        assert T + max_new_tokens <= self.max_seq_len, "cache too small"
+        Tp = T if prefix is None else prefix.length + T
+        assert Tp + max_new_tokens <= self.max_seq_len, "cache too small"
         tiled = jnp.repeat(tokens, nb, axis=0)               # (B*nb, T)
         pad = (None if pad_lens is None else jnp.repeat(
             jnp.asarray(pad_lens, jnp.int32).reshape(B), nb))
-        caches = self.init_caches()
-        first_logits, caches = self._prefill(self.params, tiled, caches, pad)
-        pos = jnp.full((B * nb, 1), T, jnp.int32)
+        if prefix is None:
+            caches = self.init_caches()
+            first_logits, caches = self._prefill(self.params, tiled,
+                                                 caches, pad)
+        else:
+            assert pad is None, "prefix + ragged suffixes unsupported"
+            from kivi_tpu.cache.kivi_cache import broadcast_rows
+            caches = [broadcast_rows(c, B * nb) for c in prefix.caches]
+            first_logits, caches = self._extend_call(
+                self.params, tiled, caches, prefix.length)
+        pos = jnp.full((B * nb, 1), Tp, jnp.int32)
         if pad is not None:
             pos = pos - pad[:, None]
         out, scores, lengths, caches = self._beam_scan(
             self.params, first_logits, pos, caches, pad,
             steps=max_new_tokens, num_beams=nb,
-            eos_token_id=int(eos_token_id), prompt_len=T)
+            eos_token_id=int(eos_token_id), prompt_len=Tp)
         lengths = jnp.maximum(lengths, 1)       # non-EOS token count
         final = scores / (lengths.astype(jnp.float32) ** length_penalty)
         best = jnp.argmax(final, axis=1)                     # (B,)

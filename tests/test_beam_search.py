@@ -133,3 +133,26 @@ def test_beam_padded_matches_unpadded_fp16():
             jnp.asarray([[0] * pad + prompt], jnp.int32), steps,
             num_beams=nb, pad_lens=[pad]))
     np.testing.assert_array_equal(got, want)
+
+
+def test_beam_with_prefix_matches_full_prompt():
+    """Beam search behind a shared prefix: fp16 cache, so the extend
+    path is exact and the beams must match the full-prompt run."""
+    cfg = _tiny()
+    params = _params(cfg)
+    qcfg = QuantConfig(k_bits=16, v_bits=16, group_size=16,
+                       residual_length=16)
+    eng = Engine(cfg, qcfg, params, max_seq_len=128, batch_size=4)
+    eng.cache_dtype = jnp.float32
+    rng = np.random.default_rng(4)
+    prefix = jnp.asarray(rng.integers(1, cfg.vocab_size, 20), jnp.int32)
+    suffix = jnp.asarray(rng.integers(1, cfg.vocab_size, (2, 8)),
+                         jnp.int32)
+    full = jnp.concatenate(
+        [jnp.broadcast_to(prefix, (2, 20)), suffix], axis=1)
+
+    want = np.asarray(eng.generate_beam(full, 10, num_beams=2))
+    snap = eng.prefill_prefix(prefix)
+    got = np.asarray(eng.generate_beam(suffix, 10, num_beams=2,
+                                       prefix=snap))
+    np.testing.assert_array_equal(got, want)

@@ -84,3 +84,37 @@ def test_sharded_prefill_logits_close():
     logits_s, _ = eng._prefill(sp, st, caches)
     np.testing.assert_allclose(np.asarray(logits_s), np.asarray(logits_ref),
                                rtol=0.05, atol=0.05)
+
+
+def test_sharded_prefix_extend_matches_single_device():
+    """Prefix-cache serving under GSPMD: a batch-1 snapshot broadcast
+    across the data axis and sharded over the (data, model) mesh must
+    produce the same extend-step logits as the replicated run (TP over
+    KV heads slices the packed stores; the suffix-extend contraction
+    rides the same shardings as decode)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from kivi_tpu.cache.kivi_cache import broadcast_rows
+
+    B, T1, MAX = 4, 16, 256
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0))
+    eng = Engine(cfg=CFG, qcfg=QCFG, params=params, max_seq_len=MAX,
+                 batch_size=B)
+    prefix = jax.random.randint(jax.random.PRNGKey(3), (40,), 1,
+                                CFG.vocab_size, jnp.int32)
+    snap = eng.prefill_prefix(prefix)
+    suffix = jax.random.randint(jax.random.PRNGKey(4), (B, T1), 1,
+                                CFG.vocab_size, jnp.int32)
+
+    caches_r = [broadcast_rows(c, B) for c in snap.caches]
+    logits_r, _ = eng._extend_call(params, suffix, caches_r, snap.length)
+
+    mesh = make_mesh(2, 4)
+    sp = shard_params(params, CFG, mesh)
+    st = shard_tokens(suffix, mesh)
+    caches_s = shard_caches([broadcast_rows(c, B) for c in snap.caches],
+                            QCFG, mesh)
+    logits_s, _ = eng._extend_call(sp, st, caches_s, snap.length)
+    np.testing.assert_allclose(np.asarray(logits_s),
+                               np.asarray(logits_r),
+                               rtol=0.05, atol=0.05)

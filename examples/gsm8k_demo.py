@@ -43,12 +43,15 @@ DEFAULT_QUESTION = ("Tom has 7 bags with 9 marbles each. He loses 5 "
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", required=True)
-    ap.add_argument("--question", default=DEFAULT_QUESTION)
+    ap.add_argument("--question", action="append", default=None,
+                    help="repeatable; several questions share the "
+                         "few-shot header via a prefix snapshot")
     from kivi_tpu.cli import add_quant_flags
     add_quant_flags(ap)         # one flag surface (kivi_tpu/cli.py)
     ap.add_argument("--max-new", type=int, default=96)
     ap.add_argument("--impl", default="pallas")
     args = ap.parse_args()
+    questions = args.question or [DEFAULT_QUESTION]
 
     import jax.numpy as jnp
     from transformers import AutoTokenizer
@@ -61,14 +64,27 @@ def main():
     cfg, params = load_hf_checkpoint(args.model_dir)
     tok = AutoTokenizer.from_pretrained(args.model_dir)
 
-    prompt = FEW_SHOT.format(question=args.question)
-    ids = tok.encode(prompt)
+    # the 5-shot header is identical for every question: prefill it ONCE
+    # as a prefix snapshot, then each question prefills only its own
+    # "Question: ...\nAnswer:" suffix
+    header, qtail = FEW_SHOT.split("{question}")
+    head_ids = tok.encode(header)
+    longest = max(len(tok.encode(q + qtail, add_special_tokens=False))
+                  for q in questions)
+    need = len(head_ids) + longest + args.max_new + 8
+    gs = qcfg.group_size                # cache length must be gs-aligned
     eng = Engine(cfg=cfg, qcfg=qcfg, params=params,
-                 max_seq_len=len(ids) + args.max_new + 8, batch_size=1,
-                 impl=args.impl)
-    out = eng.generate(jnp.asarray([ids], jnp.int32), args.max_new,
-                       eos_token_id=tok.eos_token_id)
-    print(tok.decode(list(out[0]), skip_special_tokens=True))
+                 max_seq_len=(need + gs - 1) // gs * gs,
+                 batch_size=1, impl=args.impl)
+    snap = eng.prefill_prefix(jnp.asarray(head_ids, jnp.int32))
+    for q in questions:
+        sfx = tok.encode(q + qtail, add_special_tokens=False)
+        out = eng.generate(jnp.asarray([sfx], jnp.int32), args.max_new,
+                           eos_token_id=tok.eos_token_id, prefix=snap)
+        print(f"Question: {q}")
+        print("Answer:" + tok.decode(list(out[0]),
+                                     skip_special_tokens=True))
+        print()
 
 
 if __name__ == "__main__":

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--prompt", type=int, default=512)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--churn-requests", type=int, default=24)
+    ap.add_argument("--hidden", type=int, default=4096,
+                    help="model width (shrink for CPU smoke runs)")
+    ap.add_argument("--heads", type=int, default=32)
     args = ap.parse_args()
 
     import jax
@@ -55,8 +58,10 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     impl = "pallas" if on_tpu else "jnp"
     cfg = ModelConfig(
-        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
-        num_layers=args.layers, num_heads=32, num_kv_heads=32, head_dim=128,
+        vocab_size=32000, hidden_size=args.hidden,
+        intermediate_size=args.hidden * 11008 // 4096,
+        num_layers=args.layers, num_heads=args.heads,
+        num_kv_heads=args.heads, head_dim=args.hidden // args.heads,
         max_position_embeddings=args.ctx)
     qcfg = quant_config_from_args(args)
     S, T, P = args.slots, args.ctx, args.prompt
@@ -137,10 +142,53 @@ def main():
         f"{nsteps} steps -> {total / dt:,.0f} tok/s "
         f"(slot occupancy {total / (nsteps * S):.2f})")
 
+    del bat2
+
+    # ---- shared-prefix admission: warm latency vs full re-prefill ---------
+    # every request = P-qlen shared system-prompt tokens + its own qlen
+    # question; the prefix batcher pays only the question at admission.
+    qlen = 64
+    eng1 = Engine(cfg=cfg, qcfg=qcfg, params=params, max_seq_len=T,
+                  batch_size=1, impl=impl)
+    sysp = jnp.asarray(rng.randint(1, cfg.vocab_size, P - qlen), jnp.int32)
+    snap = eng1.prefill_prefix(sysp)
+    del eng1
+
+    def admit_ms(bat, mk_prompt, n=6):
+        for i in range(n + 1):
+            bat.submit(Request(uid=100 + i, prompt=mk_prompt(),
+                               max_new_tokens=4))
+        bat._admit()                      # warm (compiles)
+        bat.active[:] = False             # free the slots (timing only)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            bat._admit()                  # one queued request per call
+            bat.active[:] = False
+        return (time.perf_counter() - t0) / n * 1e3
+
+    batp = ContinuousBatcher(cfg, qcfg, params, num_slots=1,
+                             max_seq_len=T, impl=impl,
+                             prefill_chunk=128, prefix=snap)
+    pre_ms = admit_ms(
+        batp, lambda: list(rng.randint(1, cfg.vocab_size, qlen)))
+    del batp
+    batf = ContinuousBatcher(cfg, qcfg, params, num_slots=1,
+                             max_seq_len=T, impl=impl,
+                             prompt_buckets=(P,))
+    full_ms = admit_ms(
+        batf, lambda: list(np.asarray(sysp))
+        + list(rng.randint(1, cfg.vocab_size, qlen)))
+    del batf
+    log(f"admission: {pre_ms:.1f} ms behind the {P - qlen}-token shared "
+        f"prefix vs {full_ms:.1f} ms full re-prefill "
+        f"({full_ms / pre_ms:.1f}x)")
+
     print(f"{{\"engine_ms_step\": {eng_ms:.3f}, "
           f"\"batcher_ms_step\": {bat_ms:.3f}, "
           f"\"batcher_overhead_x\": {bat_ms / eng_ms:.3f}, "
-          f"\"churn_tok_s\": {total / dt:.0f}}}")
+          f"\"churn_tok_s\": {total / dt:.0f}, "
+          f"\"admit_prefix_ms\": {pre_ms:.1f}, "
+          f"\"admit_full_ms\": {full_ms:.1f}}}")
 
 
 if __name__ == "__main__":

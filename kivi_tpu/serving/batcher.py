@@ -216,18 +216,36 @@ class ContinuousBatcher:
 
         return fn
 
+    TAIL = 32   # tail-scan block: one dispatch ingests up to 32 tokens
+
     def _make_admit_decode(self):
-        """Single-request teacher-forced decode step for the ragged
-        tail of a prefix admission: ingest one prompt token, return its
-        logits.  One compilation serves every tail length."""
+        """Teacher-forced decode scan for the ragged tail of a prefix
+        admission: ingest up to TAIL right-padded prompt tokens in ONE
+        dispatch (a per-token host loop cost one dispatch per token —
+        ~20x slower at question-sized tails).  Steps >= n_valid run
+        masked (active=False freezes the cache, decode_append_masked),
+        so one compilation serves every tail length; the returned
+        logits are those of token n_valid-1."""
         cfg, qcfg, impl = self.cfg, self.qcfg, self.impl
+        TAIL = self.TAIL
 
         @functools.partial(jax.jit, donate_argnums=(3,))
-        def fn(params, tok, pos, cache):
-            logits, cache = modeling.forward(
-                params, tok, cache, cfg, qcfg, pos, mode="decode",
-                impl=impl, last_only=True)
-            return logits[:, -1, :], cache
+        def fn(params, toks, pos0, cache, n_valid):
+            def body(carry, xs):
+                cache, best = carry
+                tok, i = xs
+                logits, cache = modeling.forward(
+                    params, tok[None, None], cache, cfg, qcfg,
+                    (pos0 + i)[None, None], mode="decode", impl=impl,
+                    last_only=True, active=i < n_valid)
+                best = jnp.where(i == n_valid - 1,
+                                 logits[:, -1].astype(jnp.float32), best)
+                return (cache, best), None
+
+            init = (cache, jnp.zeros((1, cfg.vocab_size), jnp.float32))
+            (cache, best), _ = jax.lax.scan(
+                body, init, (toks[0], jnp.arange(TAIL, dtype=jnp.int32)))
+            return best, cache
 
         return fn
 
@@ -333,10 +351,14 @@ class ContinuousBatcher:
                         jnp.full((), P + i, jnp.int32), cache1, None,
                         prev_len=canonical_phase(self.qcfg, P + i))
                     i += C
-                for j in range(i, len(prompt)):
+                while i < len(prompt):
+                    n = min(len(prompt) - i, self.TAIL)
+                    blk = jnp.zeros((1, self.TAIL), jnp.int32)
+                    blk = blk.at[:, :n].set(toks[:, i:i + n])
                     logits, cache1 = self._admit_decode(
-                        self.params, toks[:, j:j + 1],
-                        jnp.asarray([[P + j]], jnp.int32), cache1)
+                        self.params, blk, jnp.full((), P + i, jnp.int32),
+                        cache1, jnp.int32(n))
+                    i += n
                 seen0 = self._host_seen(
                     [np.asarray(self.prefix.tokens[0]), prompt])
                 nxt = self._first_token(logits, seen0, sub, temp, topk,

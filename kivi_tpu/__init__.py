@@ -16,6 +16,11 @@ _LAZY = {
     "PRESETS": ("kivi_tpu.config", "PRESETS"),
     "tiny_config": ("kivi_tpu.config", "tiny_config"),
     "Engine": ("kivi_tpu.serving.engine", "Engine"),
+    "PrefixSnapshot": ("kivi_tpu.serving.engine", "PrefixSnapshot"),
+    "save_prefix_snapshot": ("kivi_tpu.serving.engine",
+                             "save_prefix_snapshot"),
+    "load_prefix_snapshot": ("kivi_tpu.serving.engine",
+                             "load_prefix_snapshot"),
     "ContinuousBatcher": ("kivi_tpu.serving.batcher", "ContinuousBatcher"),
     "Request": ("kivi_tpu.serving.batcher", "Request"),
 }

@@ -135,10 +135,13 @@ def main():
     k_flush = [i for i in range(S) if (T0 + i) % 128 == 0]
     print(f"# flush-aligned steps (W=128): {k_flush}", file=sys.stderr)
 
+    lg22 = None
     for kb, vb in ((4, 4), (2, 4), (2, 2)):
         qcfg = QuantConfig(k_bits=kb, v_bits=vb, group_size=32,
                            residual_length=128, v_flush=128)
         lg = teacher_forced_logits(params, cfg, qcfg, prompt, forced, impl)
+        if (kb, vb) == (2, 2):
+            lg22 = lg
         kl, agree, conf_agree = compare(base_lg.astype(jnp.float32),
                                         lg.astype(jnp.float32))
         n_b = 4
@@ -149,6 +152,59 @@ def main():
               f"greedy agree {agree.mean() * 100:.2f}% "
               f"(confident half {conf_agree * 100:.2f}%) | "
               f"KL by quarter [{buckets}]")
+
+    # ---- chunked prefill accuracy class (kivi-2/2) ----------------------
+    # chunks past the first attend already-quantized history where the
+    # one-shot prefill sees the whole prompt exact; this measures what
+    # that costs on top of quantization itself.
+    qcfg22 = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                         residual_length=128, v_flush=128)
+    lg_ch = teacher_forced_logits_chunked(params, cfg, qcfg22, prompt,
+                                          forced, impl, chunk=512)
+    for name, ref in (("vs fp16", base_lg), ("vs one-shot kivi-2/2",
+                                             lg22)):
+        kl, agree, conf_agree = compare(ref.astype(jnp.float32),
+                                        lg_ch.astype(jnp.float32))
+        print(f"kivi-2/2 chunked prefill (512) {name}: KL mean "
+              f"{kl.mean():.4f} p95 {np.percentile(kl, 95):.4f} | "
+              f"greedy agree {agree.mean() * 100:.2f}% "
+              f"(confident half {conf_agree * 100:.2f}%)")
+
+
+def teacher_forced_logits_chunked(params, cfg, qcfg, prompt, forced,
+                                  impl, chunk):
+    """teacher_forced_logits with the prefill run through the extend
+    path in `chunk`-token pieces (the whole chunk loop unrolls inside
+    one trace, so prev_len is static per piece)."""
+    B, T0 = prompt.shape
+
+    @jax.jit
+    def run(params, prompt, forced):
+        caches = modeling.init_caches(cfg, qcfg, B,
+                                      cfg.max_position_embeddings)
+        lg0 = None
+        for t0 in range(0, T0, chunk):
+            T1 = min(chunk, T0 - t0)
+            positions = jnp.broadcast_to(
+                t0 + jnp.arange(T1, dtype=jnp.int32), (B, T1))
+            lg0, caches = modeling.forward(
+                params, prompt[:, t0:t0 + T1], caches, cfg, qcfg,
+                positions, mode="extend", impl=impl, last_only=True,
+                prev_len=t0)
+
+        def body(carry, tok):
+            caches, pos = carry
+            lg, caches = modeling.forward(
+                params, tok[:, None], caches, cfg, qcfg, pos[:, None],
+                mode="decode", impl=impl)
+            return (caches, pos + 1), lg[:, -1, :]
+
+        (_, _), lgs = jax.lax.scan(
+            body, (caches, jnp.full((B,), T0, jnp.int32)),
+            jnp.swapaxes(forced, 0, 1))
+        return jnp.concatenate([lg0, jnp.swapaxes(lgs, 0, 1)], axis=1)
+
+    return run(params, prompt, forced)
 
 
 def teacher_forced_greedy(params, cfg, qcfg, prompt, steps, impl):

@@ -23,6 +23,7 @@ _LAZY = {
                              "load_prefix_snapshot"),
     "ContinuousBatcher": ("kivi_tpu.serving.batcher", "ContinuousBatcher"),
     "Request": ("kivi_tpu.serving.batcher", "Request"),
+    "ServingAPI": ("kivi_tpu.serving.api", "ServingAPI"),
 }
 
 __all__ = sorted(_LAZY) + ["__version__"]

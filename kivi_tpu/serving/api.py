@@ -1,0 +1,186 @@
+"""HTTP serving front end over the continuous batcher.
+
+A minimal, dependency-free (stdlib ``http.server``) network API so the
+framework serves requests end-to-end — the reference stops at an
+in-process ``model.generate()`` call (`/root/reference/example.py:43`);
+a deployable serving stack needs a wire protocol.  One stepper thread
+drives ``ContinuousBatcher.step()`` (all jits stay on one thread — JAX
+dispatch is not free-threaded); HTTP handler threads only enqueue
+requests and wait on per-request queues/events, so N concurrent
+connections share the batcher's slots via continuous batching rather
+than serializing.
+
+Endpoints (JSON in, JSON out; token IDS, not text — tokenization is the
+client's concern, keeping the server checkpoint/tokenizer agnostic):
+
+  POST /v1/generate   {"prompt": [int, ...], "max_new_tokens": int,
+                       "temperature"?, "top_k"?, "top_p"?,
+                       "repetition_penalty"?, "eos_token_id"?,
+                       "stream"?: bool}
+    stream=false → {"uid": int, "tokens": [int, ...]}
+    stream=true  → Server-Sent Events: one `data: {"token": t}` per
+                   generated token as it decodes (time-to-first-token
+                   latency), closed by `data: [DONE]`.
+  GET /v1/health      {"status": "ok", "active_slots": n, "queued": n}
+
+A rejected request (prompt + max_new_tokens does not fit the cache)
+returns its uid with an empty token list / an immediate [DONE], matching
+``ContinuousBatcher``'s empty-Result convention.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from kivi_tpu.serving.batcher import ContinuousBatcher, Request
+
+_DONE = object()
+
+
+class ServingAPI:
+    """Owns the batcher, the stepper thread, and the HTTP server.
+
+    Use as a context manager or call start()/close().  `port=0` binds an
+    ephemeral port (read it back from `.port` — the test harness does).
+    """
+
+    def __init__(self, batcher: ContinuousBatcher, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.batcher = batcher
+        self._lock = threading.Lock()        # guards batcher state
+        self._uids = itertools.count()
+        self._streams: dict[int, queue.Queue] = {}
+        self._events: dict[int, threading.Event] = {}
+        self._reported: set[int] = set()
+        self._stop = threading.Event()
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet: BaseHTTPRequestHandler logs every request to stderr
+            def log_message(self, fmt, *args):
+                pass
+
+            def do_GET(self):
+                if self.path != "/v1/health":
+                    self.send_error(404)
+                    return
+                with api._lock:
+                    body = json.dumps({
+                        "status": "ok",
+                        "active_slots": int(api.batcher.active.sum()),
+                        "queued": len(api.batcher.queue),
+                    }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if self.path != "/v1/generate":
+                    self.send_error(404)
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    spec = json.loads(self.rfile.read(n))
+                    prompt = [int(t) for t in spec["prompt"]]
+                    max_new = int(spec["max_new_tokens"])
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    self.send_error(400, explain=str(e))
+                    return
+                stream = bool(spec.get("stream", False))
+                uid, q, ev = api._register(stream)
+                req = Request(
+                    uid=uid, prompt=prompt, max_new_tokens=max_new,
+                    eos_token_id=spec.get("eos_token_id"),
+                    temperature=float(spec.get("temperature", 0.0)),
+                    top_k=int(spec.get("top_k", 0)),
+                    top_p=float(spec.get("top_p", 1.0)),
+                    repetition_penalty=float(
+                        spec.get("repetition_penalty", 1.0)),
+                    on_token=q.put if stream else None)
+                with api._lock:
+                    api.batcher.submit(req)
+                if stream:
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    while True:
+                        tok = q.get()
+                        if tok is _DONE:
+                            break
+                        self.wfile.write(
+                            f"data: {json.dumps({'token': tok})}\n\n"
+                            .encode())
+                        self.wfile.flush()
+                    self.wfile.write(b"data: [DONE]\n\n")
+                else:
+                    ev.wait()
+                    with api._lock:
+                        toks = api.batcher.results[uid].tokens
+                    body = json.dumps({"uid": uid,
+                                       "tokens": toks}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address[:2]
+        self._threads: list[threading.Thread] = []
+
+    def _register(self, stream: bool):
+        with self._lock:
+            uid = next(self._uids)
+            q: queue.Queue = queue.Queue()
+            ev = threading.Event()
+            if stream:
+                self._streams[uid] = q
+            self._events[uid] = ev
+            return uid, q, ev
+
+    def _stepper(self):
+        """The ONE thread that touches jit: admit/decode/retire, then
+        fan completion out to waiting handler threads."""
+        while not self._stop.is_set():
+            with self._lock:
+                idle = not (self.batcher.queue or self.batcher.active.any())
+                if not idle:
+                    self.batcher.step()
+                    self.batcher._retire()     # deliver without 1-step lag
+                done = [u for u in self.batcher.results
+                        if u not in self._reported]
+                for u in done:
+                    self._reported.add(u)
+                    if u in self._streams:
+                        self._streams.pop(u).put(_DONE)
+                    if u in self._events:
+                        self._events.pop(u).set()
+            if idle:
+                self._stop.wait(0.005)
+
+    def start(self) -> "ServingAPI":
+        for fn in (self._stepper, self._httpd.serve_forever):
+            t = threading.Thread(target=fn, daemon=True)
+            t.start()
+            self._threads.append(t)
+        return self
+
+    def close(self):
+        self._stop.set()
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        for t in self._threads:
+            t.join(timeout=10)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.close()

@@ -58,6 +58,13 @@ class Request:
     top_k: int = 0
     top_p: float = 1.0
     repetition_penalty: float = 1.0
+    # streaming: called with each generated token id the step it is
+    # harvested (first token at admission, then once per decode step) —
+    # tokens reach the caller at time-to-first-token latency instead of
+    # at retirement.  Engine-level streaming is generate_stream; this is
+    # its continuous-batching counterpart.  Exceptions propagate to the
+    # step()/run() caller.
+    on_token: Optional[Callable[[int], None]] = None
 
 
 @dataclasses.dataclass
@@ -414,6 +421,8 @@ class ContinuousBatcher:
             self.active[slot] = True
             self.slot_req[slot] = req
             self.slot_out[slot] = [int(nxt[0])]
+            if req.on_token is not None:
+                req.on_token(self.slot_out[slot][0])
 
     def _retire(self):
         for s in range(self.S):
@@ -447,7 +456,11 @@ class ContinuousBatcher:
         self.pos = self.pos + self.act_dev.astype(jnp.int32)[:, None]
         for s in range(self.S):
             if self.active[s] and self.slot_req[s] is not None:
-                self.slot_out[s].append(int(nxt_host[s]))
+                tok = int(nxt_host[s])
+                self.slot_out[s].append(tok)
+                req = self.slot_req[s]
+                if req.on_token is not None:
+                    req.on_token(tok)
 
     def run(self, requests: List[Request]) -> Dict[int, Result]:
         """Drive until every submitted request completes."""

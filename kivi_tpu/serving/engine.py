@@ -142,6 +142,7 @@ class Engine:
             functools.partial(self._prefill_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
             donate_argnums=(2,))
+        self._prefill_sp = {}   # (mesh, axis) -> jitted seq-par prefill
         self._decode = _jit(
             functools.partial(self._decode_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
@@ -197,11 +198,13 @@ class Engine:
     # -- jitted bodies ----------------------------------------------------
 
     @staticmethod
-    def _prefill_fn(params, tokens, caches, pad=None, *, cfg, qcfg, impl):
+    def _prefill_fn(params, tokens, caches, pad=None, *, cfg, qcfg, impl,
+                    seq_mesh=None):
         """tokens (B, T) LEFT-padded by pad (B,) slots per row (None =
         unpadded, zero masking overhead); RoPE positions are true token
         indices (i - pad, clamped at 0), the HF position_ids convention
-        for left-padded generation."""
+        for left-padded generation.  seq_mesh: (Mesh, axis) routes
+        prefill attention through the sequence-parallel ring."""
         B, T = tokens.shape
         if pad is None:
             positions = jnp.broadcast_to(
@@ -211,7 +214,8 @@ class Engine:
                 jnp.arange(T, dtype=jnp.int32)[None, :] - pad[:, None], 0)
         logits, caches = modeling.forward(
             params, tokens, caches, cfg, qcfg, positions,
-            mode="prefill", impl=impl, last_only=True, pad_len=pad)
+            mode="prefill", impl=impl, last_only=True, pad_len=pad,
+            seq_mesh=seq_mesh)
         return logits[:, -1, :], caches
 
     @staticmethod
@@ -439,8 +443,43 @@ class Engine:
         return modeling.init_caches(self.cfg, self.qcfg, self.batch_size,
                                     self.max_seq_len, self.cache_dtype)
 
+    def prefill_seqpar(self, tokens: jax.Array, mesh, axis: str = "data",
+                       caches=None, pad_lens=None):
+        """One-shot prefill with the TOKEN axis sharded over a mesh
+        axis: attention runs as a ring over ICI (parallel/ring.py), so
+        an n-chip slice splits the O(T²) prompt FLOPs n ways — the
+        sequence-parallel long-context path SURVEY.md §5.7 marks as the
+        TPU-native stretch over the reference's single-GPU flash
+        prefill.  tokens (B, T) with T % mesh.shape[axis] == 0; K/V are
+        gathered per layer before cache ingest (O(T) bytes).  Returns
+        (last-token logits (B, V), caches), same contract as prefill.
+        """
+        n = mesh.shape[axis]
+        B, T = tokens.shape
+        if T % n:
+            raise ValueError(f"prompt length {T} not divisible by the "
+                             f"{n}-device '{axis}' mesh axis")
+        key = (mesh, axis)
+        if key not in self._prefill_sp:
+            self._prefill_sp[key] = jax.jit(
+                functools.partial(self._prefill_fn, cfg=self.cfg,
+                                  qcfg=self.qcfg, impl=self.impl,
+                                  seq_mesh=(mesh, axis)),
+                donate_argnums=(2,))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tokens = jax.device_put(jnp.asarray(tokens, jnp.int32),
+                                NamedSharding(mesh, P(None, axis)))
+        if caches is None:
+            caches = modeling.init_caches(self.cfg, self.qcfg, B,
+                                          self.max_seq_len,
+                                          self.cache_dtype)
+        pad = (None if pad_lens is None
+               else jnp.asarray(pad_lens, jnp.int32).reshape(B))
+        return self._prefill_sp[key](self.params, tokens, caches, pad)
+
     def prefill_prefix(self, tokens: jax.Array,
-                       chunk_size: Optional[int] = None) -> PrefixSnapshot:
+                       chunk_size: Optional[int] = None,
+                       seq_mesh=None) -> PrefixSnapshot:
         """Prefill a shared prompt prefix ONCE at batch 1 and snapshot
         the resulting caches.  tokens: (T0,) or (1, T0).  The snapshot
         plugs into `generate(..., prefix=)`, which broadcasts it across
@@ -449,11 +488,17 @@ class Engine:
         not once per request.  Chain `extend()` for multi-turn reuse.
         chunk_size: prefill through `prefill_chunked` (bounded memory +
         one compile for all prefix lengths; KIVI-approximate past the
-        first chunk)."""
+        first chunk).  seq_mesh: (Mesh, axis) — prefill the prefix
+        sequence-parallel over the mesh axis (`prefill_seqpar`: ring
+        attention splits the long prefix's O(T²) over the slice; the
+        exact-attention accuracy class, unlike chunking)."""
         tokens = jnp.asarray(tokens, jnp.int32).reshape(1, -1)
         caches = modeling.init_caches(self.cfg, self.qcfg, 1,
                                       self.max_seq_len, self.cache_dtype)
-        if chunk_size is not None:
+        if seq_mesh is not None:
+            _, caches = self.prefill_seqpar(tokens, seq_mesh[0],
+                                            seq_mesh[1], caches=caches)
+        elif chunk_size is not None:
             _, caches = self.prefill_chunked(tokens, chunk_size,
                                              caches=caches)
         else:
@@ -561,6 +606,39 @@ class Engine:
         the same two compilations; KIVI-approximate past the first
         chunk).  Mutually exclusive with prefix.
         """
+        (first, caches, pos, pad, seen, rng, Tp,
+         n_real) = self._ingest_prompt(
+            tokens, max_new_tokens, pad_lens=pad_lens, prefix=prefix,
+            prefill_chunk_size=prefill_chunk_size,
+            repetition_penalty=repetition_penalty,
+            temperature=temperature, top_k=top_k, top_p=top_p, rng=rng)
+        if max_new_tokens == 1:
+            return first[:n_real]
+        rest, caches = self._decode_scan(
+            self.params, first, pos, caches, rng, pad,
+            steps=max_new_tokens - 1, temperature=temperature,
+            prompt_len=Tp, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty, seen=seen)
+        out = jnp.concatenate([first, rest], axis=1)[:n_real]
+        if eos_token_id is not None:
+            seen = jnp.cumsum((out == eos_token_id).astype(jnp.int32), axis=1)
+            keep = (seen - (out == eos_token_id)) == 0  # tokens before eos
+            out = jnp.where(keep, out, eos_token_id)
+        return out
+
+    def _ingest_prompt(self, tokens, max_new_tokens, *, pad_lens, prefix,
+                       prefill_chunk_size, repetition_penalty,
+                       temperature, top_k, top_p, rng):
+        """generate()'s prompt prologue, shared with generate_stream():
+        batch top-up, prompt ingestion (one-shot / chunked / prefix
+        extend), penalty seen-mask, and the FIRST sampled token (which
+        goes through the same processor chain as the rest — HF applies
+        penalty + warpers from token 0; argmax-ing it regardless of
+        temperature was a silent HF deviation).  Returns (first (B,1),
+        caches, pos (B,1), pad, seen, rng, Tp, n_real)."""
+        from kivi_tpu.cache.kivi_cache import broadcast_rows
+        from kivi_tpu.serving import sampling
+
         B, T = tokens.shape
         n_real = B
         if B < self.batch_size:
@@ -582,12 +660,6 @@ class Engine:
         pad = (None if pad_lens is None
                else jnp.asarray(pad_lens, jnp.int32).reshape(B))
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        # the FIRST generated token goes through the same processor
-        # chain as the rest (HF applies penalty + warpers from token 0;
-        # argmax-ing the first token regardless of temperature was a
-        # silent HF deviation)
-        from kivi_tpu.serving import sampling
-        from kivi_tpu.cache.kivi_cache import broadcast_rows
         if prefix is None:
             if prefill_chunk_size is not None:
                 logits, caches = self.prefill_chunked(
@@ -613,23 +685,105 @@ class Engine:
         rng, sub = jax.random.split(rng)
         first = sampling.sample_step(logits, sub, temperature=temperature,
                                      top_k=top_k, top_p=top_p)[:, None]
-        if max_new_tokens == 1:
-            return first[:n_real]
         # RoPE position of the first generated token = true length
         pos = jnp.full((B, 1), Tp, jnp.int32)
         if pad is not None:
             pos = pos - pad[:, None]
-        rest, caches = self._decode_scan(
-            self.params, first, pos, caches, rng, pad,
-            steps=max_new_tokens - 1, temperature=temperature,
-            prompt_len=Tp, top_k=top_k, top_p=top_p,
-            repetition_penalty=repetition_penalty, seen=seen)
-        out = jnp.concatenate([first, rest], axis=1)[:n_real]
-        if eos_token_id is not None:
-            seen = jnp.cumsum((out == eos_token_id).astype(jnp.int32), axis=1)
-            keep = (seen - (out == eos_token_id)) == 0  # tokens before eos
-            out = jnp.where(keep, out, eos_token_id)
-        return out
+        return first, caches, pos, pad, seen, rng, Tp, n_real
+
+    def generate_stream(self, tokens: jax.Array, max_new_tokens: int,
+                        *, segment: int = 16,
+                        eos_token_id: Optional[int] = None,
+                        temperature: float = 0.0,
+                        rng: Optional[jax.Array] = None,
+                        pad_lens=None, top_k: int = 0, top_p: float = 1.0,
+                        repetition_penalty: float = 1.0,
+                        prefix: Optional[PrefixSnapshot] = None,
+                        prefill_chunk_size: Optional[int] = None):
+        """Streaming generation: yields np.int32 blocks of shape
+        (B, <=segment) as they decode — the first yield is the single
+        first token (time-to-first-token), then `segment`-step scan
+        segments.  Semantics match generate(): same sampling chain,
+        same EOS padding (rows past their EOS emit eos_token_id), plus
+        EARLY EXIT once every row has finished.  The segmented scans
+        reuse compilations through the same prompt_len canonicalization
+        as decode resume; with repetition penalty the seen-mask is
+        re-derived per segment from everything emitted so far.
+        """
+        from kivi_tpu.serving import sampling
+
+        import numpy as np
+
+        (first, caches, pos, pad, seen, rng, Tp,
+         n_real) = self._ingest_prompt(
+            tokens, max_new_tokens, pad_lens=pad_lens, prefix=prefix,
+            prefill_chunk_size=prefill_chunk_size,
+            repetition_penalty=repetition_penalty,
+            temperature=temperature, top_k=top_k, top_p=top_p, rng=rng)
+        B = self.batch_size
+        done = np.zeros(n_real, bool)
+
+        def emit(block):
+            """EOS-pad finished rows; returns (emitted block, stop?)"""
+            nonlocal done
+            block = np.array(block[:n_real])   # writable host copy
+            if eos_token_id is None:
+                return block, False
+            for j in range(block.shape[1]):
+                block[done, j] = eos_token_id
+                done |= block[:, j] == eos_token_id
+            return block, bool(done.all())
+
+        cur = first
+        blk, stop = emit(cur)
+        yield blk
+        emitted = 1
+        while emitted < max_new_tokens and not stop:
+            steps = min(segment, max_new_tokens - emitted)
+            # flush-schedule base = tokens IN THE CACHE at segment
+            # start: the segment's input token is not yet appended, so
+            # that's Tp + emitted - 1 (not + emitted)
+            pl = Tp + emitted - 1
+            rest, caches = self._decode_scan(
+                self.params, cur, pos, caches, rng, pad, steps=steps,
+                temperature=temperature, prompt_len=pl,
+                top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty, seen=seen)
+            if temperature > 0:
+                # the scan consumed one split per step from the chain;
+                # advance the host copy the same way so SAMPLED streams
+                # stay bit-identical to one-shot generate() (greedy
+                # ignores rng entirely)
+                for _ in range(steps):
+                    rng = jax.random.split(rng)[0]
+            if self.qcfg.quantize_kv:
+                # A flush due exactly AT the segment boundary is not
+                # executed by the scan (it only flushes before appends).
+                # The canonical state the next segment's schedule assumes
+                # is ASYMMETRIC there: prefill-canonical K at T % W == 0
+                # is already flushed (nkq0 = (T//W)*W), so K must flush
+                # eagerly here — but canonical V keeps the full window
+                # (residual stays W), and the next segment's schedule
+                # fires that V flush itself at its step 0; boundary-
+                # flushing V too would flush twice (n_v_win < 0).
+                ev = self._flush_schedule(
+                    self.qcfg, self._canonical_phase(pl),
+                    steps + 1).get(steps)
+                if ev is not None and ev[0]:
+                    caches = modeling.flush_caches(
+                        caches, self.qcfg, self.impl, k=True, v=False)
+            if seen is not None:
+                # fold the segment's tokens into the penalty mask (the
+                # scan's internal updates don't persist across segments)
+                seen = seen | (
+                    jax.nn.one_hot(jnp.concatenate([cur, rest], axis=1),
+                                   self.cfg.vocab_size,
+                                   dtype=jnp.bool_).any(axis=1))
+            cur = rest[:, -1:]
+            pos = pos + steps
+            emitted += steps
+            blk, stop = emit(rest)
+            yield blk
 
     def generate_beam(self, tokens: jax.Array, max_new_tokens: int,
                       num_beams: int, eos_token_id: int = -1,

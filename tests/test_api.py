@@ -1,0 +1,124 @@
+"""HTTP serving front end (serving/api.py) over the continuous batcher.
+
+Wire-protocol checks on a tiny random-weight model: non-streaming JSON
+responses are token-equal to driving a fresh batcher directly (greedy),
+SSE streaming delivers the same tokens one event at a time, concurrent
+connections share the slot pool, and malformed/unroutable requests get
+4xx instead of wedging the stepper.
+"""
+
+import http.client
+import json
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kivi_tpu.config import QuantConfig, tiny_config
+from kivi_tpu.models import modeling
+from kivi_tpu.serving.api import ServingAPI
+from kivi_tpu.serving.batcher import ContinuousBatcher, Request
+
+CFG = tiny_config()
+QCFG = QuantConfig(k_bits=2, v_bits=2, group_size=32, residual_length=32)
+PARAMS = modeling.init_params(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+def _batcher():
+    return ContinuousBatcher(CFG, QCFG, PARAMS, num_slots=2,
+                             max_seq_len=256, prompt_buckets=(32,))
+
+
+def _post(port, payload):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/v1/generate", json.dumps(payload),
+                 {"Content-Type": "application/json"})
+    return conn, conn.getresponse()
+
+
+@pytest.fixture(scope="module")
+def api():
+    with ServingAPI(_batcher()) as srv:
+        yield srv
+
+
+def _prompt(seed, n=12):
+    return [int(t) for t in
+            np.random.default_rng(seed).integers(1, CFG.vocab_size, n)]
+
+
+def test_generate_matches_direct_batcher(api):
+    prompt = _prompt(0)
+    conn, resp = _post(api.port, {"prompt": prompt, "max_new_tokens": 8})
+    assert resp.status == 200
+    got = json.loads(resp.read())["tokens"]
+    conn.close()
+    want = _batcher().run([Request(uid=0, prompt=prompt,
+                                   max_new_tokens=8)])[0].tokens
+    assert got == want
+
+
+def test_stream_sse_tokens(api):
+    prompt = _prompt(1)
+    conn, resp = _post(api.port, {"prompt": prompt, "max_new_tokens": 6,
+                                  "stream": True})
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    toks = []
+    for raw in resp:
+        line = raw.decode().strip()
+        if not line.startswith("data: "):
+            continue
+        if line == "data: [DONE]":
+            break
+        toks.append(json.loads(line[6:])["token"])
+    conn.close()
+    want = _batcher().run([Request(uid=0, prompt=prompt,
+                                   max_new_tokens=6)])[0].tokens
+    assert toks == want
+
+
+def test_concurrent_requests_share_slots(api):
+    prompts = [_prompt(10 + i) for i in range(3)]
+    out = [None] * 3
+
+    def go(i):
+        conn, resp = _post(api.port, {"prompt": prompts[i],
+                                      "max_new_tokens": 5})
+        out[i] = json.loads(resp.read())["tokens"]
+        conn.close()
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i in range(3):
+        want = _batcher().run([Request(uid=0, prompt=prompts[i],
+                                       max_new_tokens=5)])[0].tokens
+        assert out[i] == want
+
+
+def test_rejected_request_returns_empty(api):
+    # prompt bucket + max_new_tokens exceeds the 256-slot cache
+    conn, resp = _post(api.port, {"prompt": _prompt(2),
+                                  "max_new_tokens": 10_000})
+    assert json.loads(resp.read())["tokens"] == []
+    conn.close()
+
+
+def test_bad_requests_get_4xx_and_health(api):
+    conn, resp = _post(api.port, {"max_new_tokens": 4})   # no prompt
+    assert resp.status == 400
+    conn.close()
+    conn = http.client.HTTPConnection("127.0.0.1", api.port, timeout=30)
+    conn.request("GET", "/nope")
+    assert conn.getresponse().status == 404
+    conn.close()
+    conn = http.client.HTTPConnection("127.0.0.1", api.port, timeout=30)
+    conn.request("GET", "/v1/health")
+    health = json.loads(conn.getresponse().read())
+    assert health["status"] == "ok"
+    conn.close()

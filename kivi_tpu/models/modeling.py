@@ -112,11 +112,16 @@ def swiglu_mlp(x: jax.Array, wg, wu, wd) -> jax.Array:
 def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                      qcfg: QuantConfig, positions, *, mode: str,
                      impl: str, flush: bool = True, pad_len=None,
-                     active=None, prev_len: int = 0
+                     active=None, prev_len: int = 0, seq_mesh=None
                      ) -> Tuple[jax.Array, LayerCache]:
     """mode: 'prefill' (T tokens, cache must be empty), 'decode' (T==1),
     or 'extend' (T suffix tokens onto a cache holding prev_len — STATIC —
-    tokens: chunked prefill / prefix caching)."""
+    tokens: chunked prefill / prefix caching).
+
+    seq_mesh: optional (Mesh, axis-name) — prefill-only sequence
+    parallelism: the token axis arrives sharded over the mesh axis and
+    attention runs as a ring (parallel/ring.py).  Cache ingest gathers
+    K/V first (O(T) bytes vs the ring's O(T²) FLOP win)."""
     B, T, _ = x.shape
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -141,8 +146,22 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                     >= jnp.asarray(pad_len, jnp.int32).reshape(B, 1, 1, 1))
             k = jnp.where(live, k, 0)
             v = jnp.where(live, v, 0)
-        out = prefill_attention(q, k, v, sliding_window=cfg.sliding_window,
-                                impl=impl, pad_len=pad_len)
+        if seq_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from kivi_tpu.parallel.ring import ring_attention
+            mesh, saxis = seq_mesh
+            out = ring_attention(q, k, v, mesh, axis=saxis,
+                                 sliding_window=cfg.sliding_window,
+                                 pad_len=pad_len)
+            # ingest wants whole quant groups: gather the token axis
+            # back (O(T·H·D) bytes — the SP win is attention's O(T²))
+            rep = NamedSharding(mesh, PartitionSpec())
+            k = jax.lax.with_sharding_constraint(k, rep)
+            v = jax.lax.with_sharding_constraint(v, rep)
+        else:
+            out = prefill_attention(q, k, v,
+                                    sliding_window=cfg.sliding_window,
+                                    impl=impl, pad_len=pad_len)
         if isinstance(cache, FpLayerCache):
             cache = fp_append(cache, k, v)
         else:
@@ -190,11 +209,12 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
 
 
 def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl,
-                   flush=True, pad_len=None, active=None, prev_len=0):
+                   flush=True, pad_len=None, active=None, prev_len=0,
+                   seq_mesh=None):
     h, cache = _attention_block(
         rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps), lp, cache, cfg, qcfg,
         positions, mode=mode, impl=impl, flush=flush, pad_len=pad_len,
-        active=active, prev_len=prev_len)
+        active=active, prev_len=prev_len, seq_mesh=seq_mesh)
     x = x + h
     x = x + swiglu_mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps),
                        lp["wg"], lp["wu"], lp["wd"])
@@ -212,7 +232,7 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             flush: bool = True,
             pad_len: Optional[jax.Array] = None,
             active: Optional[jax.Array] = None,
-            prev_len: int = 0) -> Tuple[jax.Array, Any]:
+            prev_len: int = 0, seq_mesh=None) -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 ROPE positions (for
     left-padded rows: cache index minus pad_len, clamped at 0).
 
@@ -245,7 +265,8 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
         x, caches[i] = _decoder_layer(x, lp, caches[i], cfg, qcfg,
                                       positions, mode=mode, impl=impl,
                                       flush=flush, pad_len=pad_len,
-                                      active=active, prev_len=prev_len)
+                                      active=active, prev_len=prev_len,
+                                      seq_mesh=seq_mesh)
     if last_only:
         x = x[:, -1:, :]
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)

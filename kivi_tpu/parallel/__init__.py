@@ -10,6 +10,7 @@ from kivi_tpu.parallel.elastic import (
     StepWatchdog,
     surviving_mesh,
 )
+from kivi_tpu.parallel.ring import ring_attention
 from kivi_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
@@ -26,6 +27,6 @@ from kivi_tpu.parallel.mesh import (
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "ElasticBatcher", "Heartbeat",
     "StepWatchdog", "auto_mesh_shape", "cache_pspecs", "make_mesh",
-    "param_pspecs", "shard_caches", "shard_params", "shard_tokens",
-    "surviving_mesh", "token_pspec",
+    "param_pspecs", "ring_attention", "shard_caches", "shard_params",
+    "shard_tokens", "surviving_mesh", "token_pspec",
 ]

@@ -24,6 +24,8 @@ _LAZY = {
     "ContinuousBatcher": ("kivi_tpu.serving.batcher", "ContinuousBatcher"),
     "Request": ("kivi_tpu.serving.batcher", "Request"),
     "ServingAPI": ("kivi_tpu.serving.api", "ServingAPI"),
+    "SpeculativeEngine": ("kivi_tpu.serving.speculative",
+                          "SpeculativeEngine"),
 }
 
 __all__ = sorted(_LAZY) + ["__version__"]

@@ -1,0 +1,250 @@
+"""Speculative decoding: draft-model proposals, one-pass target verify.
+
+Beyond-reference serving feature (the reference decodes strictly one
+token per forward through HF `generate()`, `/root/reference/example.py:
+43`): a small draft model proposes `k` greedy tokens in one on-device
+decode scan, the target model scores all of them (plus a bonus
+position) in ONE width-(k+1) extend forward, and the longest matching
+prefix is accepted — per Leviathan et al. (arXiv:2211.17192), greedy
+variant, so the emitted stream is TOKEN-EQUAL to the target engine's
+own greedy output no matter how bad the draft is.  KIVI is what makes
+the draft cheap to co-host: both models' KV caches are 2/4-bit.
+
+TPU shape discipline: every iteration is exactly two fixed-shape
+dispatches — the draft's k-step `lax.scan` and the target's width-(k+1)
+extend — plus O(k) host logic.  Rejection does NOT recompile anything:
+
+Cache rewind.  jax arrays are immutable, so the pre-iteration cache
+pytree survives for free; the problem is producing "cache with only the
+j+1 accepted tokens" afterwards.  Two paths:
+  * counter rewind (common): if no quantization watermark moved past
+    the accepted length, the speculative tokens live only in the fp
+    windows — rewinding the two window counters makes the stale slots
+    dead, and every later writer (decode_append at n_win, flush of a
+    FULL window, prefill_extend reading [:n_win)) overwrites them
+    before any reader sees them.  One eager `flush_k_now` restores the
+    prefill-canonical "flushed at T % W == 0" state when the rewind
+    lands exactly on a key-block boundary (the same K/V canonical-state
+    asymmetry generate_stream handles at segment boundaries).
+  * replay (rare, quant watermark crossed): re-append the accepted
+    tokens one by one through a teacher-forced decode jit from the
+    retained pre-iteration pytree, then the same boundary flush.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kivi_tpu.cache.fp_cache import FpLayerCache
+from kivi_tpu.cache.kivi_cache import flush_k_now
+from kivi_tpu.models import modeling
+from kivi_tpu.serving.engine import Engine, canonical_phase
+
+
+def _nkq_prefill(T: int, W: int) -> int:
+    """Quantized-key count in prefill/extend-canonical state."""
+    return (T // W) * W
+
+
+def _nvq(T: int, W: int, vf: int) -> int:
+    """Quantized-value count: same formula in every canonical state."""
+    return 0 if T <= W else ((T - W + vf - 1) // vf) * vf
+
+
+def _nkq_decode(T: int, W: int) -> int:
+    """Quantized-key count after reaching T tokens via decode appends
+    (flush fires BEFORE the append that would overfill, so a window
+    that just filled stays unflushed: differs from prefill-canonical
+    exactly at T % W == 0)."""
+    return ((T - 1) // W) * W if T > 0 else 0
+
+
+class SpeculativeEngine:
+    """Greedy speculative decoding over two `Engine`s sharing a vocab.
+
+    target: the model whose greedy output is reproduced exactly.
+    draft:  a cheaper model (fewer layers/heads — or the same model at
+            lower KV bits); correctness never depends on it.
+    k:      speculation depth (draft tokens proposed per iteration).
+
+    Both engines must be batch_size=1 (speculative decoding is the
+    low-batch latency play; at high batch decode is MXU-bound and
+    speculation only burns FLOPs).
+    """
+
+    def __init__(self, target: Engine, draft: Engine, k: int = 8):
+        if target.batch_size != 1 or draft.batch_size != 1:
+            raise ValueError("speculative decoding is batch_size=1 only")
+        if target.cfg.vocab_size != draft.cfg.vocab_size:
+            raise ValueError("target and draft must share a vocabulary")
+        self.target, self.draft, self.k = target, draft, k
+        # non-donating jits: rewind/replay needs the pre-iteration
+        # pytrees to stay valid, so none of these may alias their
+        # cache operands (unlike the engines' own donating jits)
+        self._verify = jax.jit(
+            functools.partial(self._verify_fn, cfg=target.cfg,
+                              qcfg=target.qcfg, impl=target.impl),
+            static_argnames=("prev_len",))
+        self._draft_scan = jax.jit(
+            functools.partial(Engine._decode_scan_fn, cfg=draft.cfg,
+                              qcfg=draft.qcfg, impl=draft.impl),
+            static_argnames=("steps", "temperature", "prompt_len",
+                             "top_k", "top_p", "repetition_penalty"))
+        self._replay_step = {
+            "target": jax.jit(functools.partial(
+                Engine._decode_fn, cfg=target.cfg, qcfg=target.qcfg,
+                impl=target.impl)),
+            "draft": jax.jit(functools.partial(
+                Engine._decode_fn, cfg=draft.cfg, qcfg=draft.qcfg,
+                impl=draft.impl)),
+        }
+        self._flush_k = {
+            "target": jax.jit(lambda cs: [
+                flush_k_now(c, target.qcfg, target.impl) for c in cs]),
+            "draft": jax.jit(lambda cs: [
+                flush_k_now(c, draft.qcfg, draft.impl) for c in cs]),
+        }
+        # rewind-path usage counters (tests + bench introspection)
+        self.stats = {"rewind": 0, "replay": 0, "boundary_flush": 0}
+
+    @staticmethod
+    def _verify_fn(params, tokens, pos0, caches, *, prev_len, cfg, qcfg,
+                   impl):
+        """Width-(k+1) extend returning logits at EVERY position (the
+        engine's own extend is last-only); appends all k+1 tokens."""
+        B, T1 = tokens.shape
+        positions = jnp.broadcast_to(
+            pos0 + jnp.arange(T1, dtype=jnp.int32), (B, T1))
+        logits, caches = modeling.forward(
+            params, tokens, caches, cfg, qcfg, positions, mode="extend",
+            impl=impl, last_only=False, prev_len=prev_len)
+        return logits, caches
+
+    # -- cache rewind -------------------------------------------------------
+
+    def _rewind(self, who: str, new_caches, old_caches, tokens_fed,
+                N0: int, N1: int, N2: int, via_decode: bool):
+        """Return caches holding exactly N1 committed tokens in
+        prefill-canonical state.  new_caches holds N2 (N1 <= N2) tokens
+        appended from N0 via extend (via_decode=False) or decode
+        appends (True); old_caches is the retained N0 pytree and
+        tokens_fed the (N2 - N0)-long append stream for replay."""
+        eng = self.target if who == "target" else self.draft
+        if not eng.qcfg.quantize_kv:
+            if N1 == N2:
+                return new_caches
+            return [dataclasses.replace(c, length=jnp.int32(N1))
+                    for c in new_caches]
+        W, vf = eng.qcfg.residual_length, eng.qcfg.value_flush
+        nkq_cur = (_nkq_decode(N2, W) if via_decode
+                   else _nkq_prefill(N2, W))
+        nvq_cur = _nvq(N2, W, vf)
+        nkq_want, nvq_want = _nkq_prefill(N1, W), _nvq(N1, W, vf)
+        k_ok = nkq_cur == nkq_want or (nkq_cur + W == nkq_want
+                                       and N1 - nkq_cur == W)
+        v_ok = nvq_cur == nvq_want and N1 - nvq_cur <= W
+        self.stats["rewind" if (k_ok and v_ok) else "replay"] += 1
+        if not (k_ok and v_ok):
+            # replay: teacher-forced decode appends of the accepted
+            # tokens from the pre-iteration pytree (counters maintained
+            # by decode_append itself — only the boundary-flush state
+            # below may still need normalizing)
+            new_caches = old_caches
+            for t in range(N1 - N0):
+                tok = jnp.asarray([[int(tokens_fed[t])]], jnp.int32)
+                pos = jnp.full((1, 1), N0 + t, jnp.int32)
+                _, new_caches = self._replay_step[who](
+                    eng.params, tok, pos, new_caches, None)
+            nkq_cur = _nkq_decode(N1, W)
+            nvq_cur = _nvq(N1, W, vf)
+        elif N1 != N2 or nkq_cur != nkq_want:
+            new_caches = [dataclasses.replace(
+                c, n_k_win=jnp.int32(N1 - nkq_cur),
+                n_v_win=jnp.int32(N1 - nvq_cur)) for c in new_caches]
+        if nkq_cur != _nkq_prefill(N1, W):
+            # rewind landed on a key-block boundary with the window
+            # full-but-unflushed: flush to prefill-canonical
+            self.stats["boundary_flush"] += 1
+            new_caches = self._flush_k[who](new_caches)
+        return new_caches
+
+    # -- generation loop ----------------------------------------------------
+
+    def generate(self, tokens: jax.Array, max_new_tokens: int,
+                 eos_token_id: Optional[int] = None) -> np.ndarray:
+        """Greedy generation, token-equal to target.generate(...,
+        temperature=0).  tokens (1, T) i32.  Returns (1, n) np.int32,
+        n <= max_new_tokens (early exit at EOS — trailing positions are
+        simply not produced).  Also records per-iteration acceptance in
+        self.last_acceptance for benchmarking."""
+        tgt, drf, k = self.target, self.draft, self.k
+        tokens = jnp.asarray(tokens, jnp.int32).reshape(1, -1)
+        Tp = tokens.shape[1]
+
+        t_caches = modeling.init_caches(tgt.cfg, tgt.qcfg, 1,
+                                        tgt.max_seq_len, tgt.cache_dtype)
+        d_caches = modeling.init_caches(drf.cfg, drf.qcfg, 1,
+                                        drf.max_seq_len, drf.cache_dtype)
+        t_logits, t_caches = tgt._prefill(tgt.params, tokens, t_caches,
+                                          None)
+        _, d_caches = drf._prefill(drf.params, tokens, d_caches, None)
+        cur = int(jnp.argmax(t_logits, -1)[0])
+
+        out = [cur]
+        N = Tp                       # committed tokens in BOTH caches
+        self.last_acceptance = []
+        rng = jax.random.PRNGKey(0)  # unused: greedy
+        while len(out) < max_new_tokens and (eos_token_id is None
+                                             or out[-1] != eos_token_id):
+            cur_dev = jnp.asarray([[cur]], jnp.int32)
+            pos = jnp.full((1, 1), N, jnp.int32)
+            d_old, t_old = d_caches, t_caches
+            # 1) draft proposes k tokens in one scan
+            d_toks, d_caches = self._draft_scan(
+                drf.params, cur_dev, pos, d_caches, rng, None, None,
+                steps=k, prompt_len=canonical_phase(drf.qcfg, N))
+            d_toks = np.asarray(d_toks[0])
+            # 2) target scores [cur] + draft tokens in one extend
+            v_in = jnp.concatenate(
+                [cur_dev, jnp.asarray(d_toks[None, :], jnp.int32)], axis=1)
+            t_logits, t_caches = self._verify(
+                tgt.params, v_in, jnp.full((), N, jnp.int32), t_caches,
+                prev_len=canonical_phase(tgt.qcfg, N))
+            t_pred = np.asarray(jnp.argmax(t_logits, -1)[0])  # (k+1,)
+            # 3) longest matching prefix + bonus/corrected token
+            j = int(np.argmax(t_pred[:k] != d_toks)) \
+                if (t_pred[:k] != d_toks).any() else k
+            emitted = [int(t) for t in d_toks[:j]] + [int(t_pred[j])]
+            self.last_acceptance.append(j)
+            # 4) rewind both caches to the N + j + 1 committed tokens
+            fed = [cur] + [int(t) for t in d_toks]
+            t_caches = self._rewind("target", t_caches, t_old, fed,
+                                    N, N + j + 1, N + k + 1,
+                                    via_decode=False)
+            if j == k:
+                # full accept: the scan emitted d_toks[k-1] but never
+                # fed it back — append it so the draft holds all k+1
+                _, d_caches = self._replay_step["draft"](
+                    drf.params, jnp.asarray([[int(d_toks[k - 1])]],
+                                            jnp.int32),
+                    jnp.full((1, 1), N + k, jnp.int32), d_caches, None)
+                d2 = N + k + 1
+            else:
+                d2 = N + k
+            d_caches = self._rewind("draft", d_caches, d_old, fed,
+                                    N, N + j + 1, d2, via_decode=True)
+            N += j + 1
+            cur = emitted[-1]
+            out.extend(emitted)
+            if eos_token_id is not None and eos_token_id in emitted:
+                break
+        del out[max_new_tokens:]
+        if eos_token_id is not None and eos_token_id in out:
+            del out[out.index(eos_token_id) + 1:]
+        return np.asarray([out], np.int32)

@@ -1,0 +1,110 @@
+"""Speculative decoding (serving/speculative.py).
+
+The contract under test: greedy speculative output is TOKEN-EQUAL to
+the target engine's own greedy generate(), for any draft — a perfect
+draft (same weights), a different/worse draft, an fp16-cache draft —
+and across quantization flush boundaries, where the cache rewind has
+to choose between counter rollback, replay, and the boundary K-flush.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kivi_tpu.config import QuantConfig, tiny_config
+from kivi_tpu.models import modeling
+from kivi_tpu.serving.engine import Engine
+from kivi_tpu.serving.speculative import SpeculativeEngine
+
+CFG = tiny_config()
+SMALL = tiny_config(num_layers=1)
+QCFG = QuantConfig(k_bits=2, v_bits=2, group_size=32, residual_length=32)
+
+
+def _eng(cfg=CFG, qcfg=QCFG, seed=0, max_seq=512):
+    params = modeling.init_params(cfg, jax.random.PRNGKey(seed),
+                                  dtype=jnp.float32)
+    e = Engine(cfg=cfg, qcfg=qcfg, params=params, max_seq_len=max_seq,
+               batch_size=1)
+    e.cache_dtype = jnp.float32
+    return e
+
+
+def _prompt(seed, n=20):
+    return jnp.asarray(np.random.default_rng(seed).integers(
+        1, CFG.vocab_size, (1, n)), jnp.int32)
+
+
+def test_perfect_draft_accepts_everything():
+    """Draft == target: every proposal accepted, output token-equal."""
+    tgt, drf = _eng(seed=0), _eng(seed=0)
+    spec = SpeculativeEngine(tgt, drf, k=4)
+    toks = _prompt(0)
+    want = np.asarray(_eng(seed=0).generate(toks, 21))
+    got = spec.generate(toks, 21)
+    np.testing.assert_array_equal(got, want)
+    assert all(j == 4 for j in spec.last_acceptance[:-1])
+
+
+def test_mismatched_draft_still_exact():
+    """A different (1-layer, different-seed) draft: acceptance is
+    partial/zero, the output must STILL equal target greedy."""
+    tgt = _eng(seed=0)
+    drf = _eng(cfg=SMALL, seed=7)
+    spec = SpeculativeEngine(tgt, drf, k=4)
+    toks = _prompt(1)
+    want = np.asarray(_eng(seed=0).generate(toks, 19))
+    got = spec.generate(toks, 19)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [3, 5, 8])
+def test_exact_across_flush_boundaries(k):
+    """Long generation (70 tokens) over W=32 caches crosses several K
+    and V flush boundaries at varying phases: every rewind path (counter
+    rollback, boundary flush, replay) must preserve token equality."""
+    tgt = _eng(seed=0)
+    drf = _eng(cfg=SMALL, seed=3)
+    spec = SpeculativeEngine(tgt, drf, k=k)
+    toks = _prompt(2, n=25)
+    want = np.asarray(_eng(seed=0).generate(toks, 70))
+    got = spec.generate(toks, 70)
+    np.testing.assert_array_equal(got, want)
+    assert spec.stats["rewind"] + spec.stats["replay"] > 0
+
+
+def test_fp16_draft_cache():
+    """Draft with an unquantized cache: FpLayerCache rewind (length
+    counter only)."""
+    tgt = _eng(seed=0)
+    drf = _eng(cfg=SMALL, seed=5,
+               qcfg=QuantConfig(k_bits=16, v_bits=16, group_size=32,
+                                residual_length=32))
+    spec = SpeculativeEngine(tgt, drf, k=4)
+    toks = _prompt(3)
+    want = np.asarray(_eng(seed=0).generate(toks, 33))
+    got = spec.generate(toks, 33)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_eos_early_exit():
+    tgt = _eng(seed=0)
+    drf = _eng(seed=0)
+    toks = _prompt(4)
+    free = np.asarray(_eng(seed=0).generate(toks, 24))
+    eos = int(free[0, 6])
+    want = free[:, :np.argmax(free[0] == eos) + 1]
+    spec = SpeculativeEngine(tgt, drf, k=4)
+    got = spec.generate(toks, 24, eos_token_id=eos)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rejects_batched_engines():
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0))
+    big = Engine(cfg=CFG, qcfg=QCFG, params=params, max_seq_len=128,
+                 batch_size=2)
+    one = Engine(cfg=CFG, qcfg=QCFG, params=params, max_seq_len=128,
+                 batch_size=1)
+    with pytest.raises(ValueError, match="batch_size=1"):
+        SpeculativeEngine(big, one)

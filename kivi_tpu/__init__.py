@@ -26,6 +26,7 @@ _LAZY = {
     "ServingAPI": ("kivi_tpu.serving.api", "ServingAPI"),
     "SpeculativeEngine": ("kivi_tpu.serving.speculative",
                           "SpeculativeEngine"),
+    "PrefixCache": ("kivi_tpu.serving.prefix_cache", "PrefixCache"),
 }
 
 __all__ = sorted(_LAZY) + ["__version__"]

@@ -16,7 +16,11 @@ client's concern, keeping the server checkpoint/tokenizer agnostic):
   POST /v1/generate   {"prompt": [int, ...], "max_new_tokens": int,
                        "temperature"?, "top_k"?, "top_p"?,
                        "repetition_penalty"?, "eos_token_id"?,
-                       "stream"?: bool}
+                       "stream"?: bool, "prefix"?: [int, ...]}
+    "prefix" (token ids) is served through the batcher's PrefixCache —
+    repeated system prompts prefill once and are reused (exact or
+    longest-prefix + extend); requires the batcher to be built with
+    `prefix_cache=`.
     stream=false → {"uid": int, "tokens": [int, ...]}
     stream=true  → Server-Sent Events: one `data: {"token": t}` per
                    generated token as it decodes (time-to-first-token
@@ -102,9 +106,18 @@ class ServingAPI:
                     top_p=float(spec.get("top_p", 1.0)),
                     repetition_penalty=float(
                         spec.get("repetition_penalty", 1.0)),
-                    on_token=q.put if stream else None)
-                with api._lock:
-                    api.batcher.submit(req)
+                    on_token=q.put if stream else None,
+                    prefix_tokens=([int(t) for t in spec["prefix"]]
+                                   if spec.get("prefix") else None))
+                try:
+                    with api._lock:
+                        api.batcher.submit(req)
+                except ValueError as e:   # prefix without a PrefixCache
+                    with api._lock:
+                        api._streams.pop(uid, None)
+                        api._events.pop(uid, None)
+                    self.send_error(400, explain=str(e))
+                    return
                 if stream:
                     self.send_response(200)
                     self.send_header("Content-Type", "text/event-stream")

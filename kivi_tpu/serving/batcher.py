@@ -65,6 +65,11 @@ class Request:
     # its continuous-batching counterpart.  Exceptions propagate to the
     # step()/run() caller.
     on_token: Optional[Callable[[int], None]] = None
+    # per-request prefix: token ids resolved through the batcher's
+    # PrefixCache at admission (exact hit / extend of the longest
+    # stored prefix / fresh prefill + LRU store).  Overrides the
+    # batcher-global `prefix` snapshot; requires `prefix_cache=`.
+    prefix_tokens: Optional[List[int]] = None
 
 
 @dataclasses.dataclass
@@ -88,7 +93,7 @@ class ContinuousBatcher:
     def __init__(self, cfg: ModelConfig, qcfg: QuantConfig, params,
                  num_slots: int, max_seq_len: int, impl: str = "jnp",
                  prompt_buckets=(128, 256, 512, 1024, 2048, 4096),
-                 prefill_chunk: int = 0, prefix=None):
+                 prefill_chunk: int = 0, prefix=None, prefix_cache=None):
         self.cfg, self.qcfg, self.params = cfg, qcfg, params
         self.S, self.T = num_slots, max_seq_len
         self.impl = impl
@@ -119,6 +124,13 @@ class ContinuousBatcher:
         # per-length compilations, prefix prefill FLOPs paid once per
         # PROCESS instead of once per request.
         self.prefix = prefix
+        # prefix_cache: a serving.prefix_cache.PrefixCache over an
+        # Engine with THIS batcher's cfg/qcfg/max_seq_len AND cache
+        # dtype (snapshots are slice-written into the slot caches) —
+        # serves
+        # Request.prefix_tokens (multi-tenant system prompts; exact or
+        # longest-prefix reuse, LRU under a byte budget).
+        self.prefix_cache = prefix_cache
 
         # slot-axis caches: one single-sequence cache vmapped over slots
         one = lambda: modeling.init_caches(cfg, qcfg, 1, max_seq_len)
@@ -295,6 +307,10 @@ class ContinuousBatcher:
     # -- host-side loop -----------------------------------------------------
 
     def submit(self, req: Request):
+        if req.prefix_tokens is not None and self.prefix_cache is None:
+            raise ValueError(
+                "Request.prefix_tokens needs ContinuousBatcher("
+                "prefix_cache=PrefixCache(...))")
         self.queue.append(req)
 
     def _bucket_for(self, n: int) -> Optional[int]:
@@ -320,13 +336,18 @@ class ContinuousBatcher:
     def _admit(self):
         from kivi_tpu.serving.engine import canonical_phase
 
-        P = self.prefix.length if self.prefix is not None else 0
         while self.queue and not self.active.all():
             req = self.queue[0]
+            # per-request prefix (through the prefix_cache manager)
+            # overrides the batcher-global shared prefix
+            prefix = self.prefix
+            if req.prefix_tokens is not None:
+                prefix = self.prefix_cache.get(req.prefix_tokens)
+            P = prefix.length if prefix is not None else 0
             # cache usage is P + bucket + max_new (pad slots occupy
             # cache positions), so admission checks the BUCKETED length
             bucket = ((len(req.prompt) or None)
-                      if self.prefix is not None
+                      if prefix is not None
                       else self._bucket_for(len(req.prompt)))
             if bucket is None or P + bucket + req.max_new_tokens > self.T:
                 self.queue.popleft()
@@ -340,7 +361,7 @@ class ContinuousBatcher:
             topk = jnp.asarray([req.top_k], jnp.int32)
             topp = jnp.asarray([req.top_p], jnp.float32)
             pen = jnp.asarray([req.repetition_penalty], jnp.float32)
-            if self.prefix is not None:
+            if prefix is not None:
                 # shared-prefix admission: clone the snapshot, ingest
                 # ONLY this request's tokens — whole prefill_chunk
                 # chunks through the extend jit, the ragged tail
@@ -348,7 +369,7 @@ class ContinuousBatcher:
                 # decode jit.  No pads anywhere, no per-length compiles.
                 pad = 0
                 cache1 = jax.tree_util.tree_map(
-                    lambda x: x.copy(), self.prefix.caches)
+                    lambda x: x.copy(), prefix.caches)
                 toks = jnp.asarray([prompt], jnp.int32)
                 C = self.prefill_chunk
                 i, logits = 0, None
@@ -367,7 +388,7 @@ class ContinuousBatcher:
                         cache1, jnp.int32(n))
                     i += n
                 seen0 = self._host_seen(
-                    [np.asarray(self.prefix.tokens[0]), prompt])
+                    [np.asarray(prefix.tokens[0]), prompt])
                 nxt = self._first_token(logits, seen0, sub, temp, topk,
                                         topp, pen)
             else:

@@ -109,6 +109,41 @@ def test_rejected_request_returns_empty(api):
     conn.close()
 
 
+def test_prefix_served_through_cache():
+    """POST with "prefix": ids — served through the PrefixCache (second
+    request is an exact hit), token-equal to generate(prefix=)."""
+    from kivi_tpu.serving.engine import Engine
+    from kivi_tpu.serving.prefix_cache import PrefixCache
+
+    eng = Engine(cfg=CFG, qcfg=QCFG, params=PARAMS, max_seq_len=256,
+                 batch_size=1)
+    pc = PrefixCache(eng)
+    bat = ContinuousBatcher(CFG, QCFG, PARAMS, num_slots=2,
+                            max_seq_len=256, prompt_buckets=(32,),
+                            prefix_cache=pc)
+    pfx = _prompt(7, 30)
+    prompt = _prompt(8, 10)
+    with ServingAPI(bat) as srv:
+        for _ in range(2):
+            conn, resp = _post(srv.port, {"prompt": prompt,
+                                          "max_new_tokens": 5,
+                                          "prefix": pfx})
+            got = json.loads(resp.read())["tokens"]
+            conn.close()
+    assert pc.misses == 1 and pc.hits >= 1
+    want = np.asarray(eng.generate(
+        jnp.asarray([prompt], jnp.int32), 5, prefix=pc.get(pfx)))
+    assert got == list(want[0])
+
+
+def test_prefix_without_cache_is_400():
+    with ServingAPI(_batcher()) as srv:
+        conn, resp = _post(srv.port, {"prompt": _prompt(9), "prefix": [1],
+                                      "max_new_tokens": 2})
+        assert resp.status == 400
+        conn.close()
+
+
 def test_bad_requests_get_4xx_and_health(api):
     conn, resp = _post(api.port, {"max_new_tokens": 4})   # no prompt
     assert resp.status == 400

@@ -76,6 +76,18 @@ def apply_top_p(logits: jax.Array, top_p: float) -> jax.Array:
     return jnp.where(logits < thr, FILTER_VALUE, logits)
 
 
+def warp_logits(logits: jax.Array, *, temperature: float, top_k: int = 0,
+                top_p: float = 1.0) -> jax.Array:
+    """HF warper chain (temperature -> top_k -> top_p) on raw logits
+    (..., V); temperature must be > 0.  softmax of the result is the
+    sampling distribution — speculative decoding consumes it as the
+    p/q measures of the accept-reject rule."""
+    logits = logits / temperature
+    logits = apply_top_k(logits, top_k)
+    logits = apply_top_p(logits, top_p)
+    return logits
+
+
 def sample_step(logits: jax.Array, rng, *, temperature: float = 0.0,
                 top_k: int = 0, top_p: float = 1.0) -> jax.Array:
     """One sampling decision from raw logits (B, V) -> token ids (B,).
@@ -84,10 +96,9 @@ def sample_step(logits: jax.Array, rng, *, temperature: float = 0.0,
     behavior and HF do_sample=False."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temperature
-    logits = apply_top_k(logits, top_k)
-    logits = apply_top_p(logits, top_p)
-    return jax.random.categorical(rng, logits).astype(jnp.int32)
+    return jax.random.categorical(
+        rng, warp_logits(logits, temperature=temperature, top_k=top_k,
+                         top_p=top_p)).astype(jnp.int32)
 
 
 def sample_step_per_row(logits: jax.Array, rng, temperature: jax.Array,

@@ -65,6 +65,31 @@ def _nkq_decode(T: int, W: int) -> int:
     return ((T - 1) // W) * W if T > 0 else 0
 
 
+def spec_accept(p: np.ndarray, q: np.ndarray, xs: np.ndarray,
+                us: np.ndarray, rng: np.random.Generator) -> list:
+    """Leviathan et al. accept-reject over one speculative window.
+
+    p: (k+1, V) target sampling probabilities (warped + softmaxed);
+    q: (k, V) draft probabilities; xs: (k,) draft tokens; us: (k,)
+    U(0,1) draws.  Token i is accepted with prob min(1, p_i(x)/q_i(x));
+    the first rejection emits a sample from the residual
+    normalize(max(p_i - q_i, 0)); full acceptance emits a bonus sample
+    from p_k.  The emitted-token marginal equals sampling directly from
+    p (the theorem tests/test_speculative.py checks empirically)."""
+    k = len(xs)
+    for i in range(k):
+        x = int(xs[i])
+        if us[i] < min(1.0, float(p[i, x]) / max(float(q[i, x]), 1e-20)):
+            continue
+        r = np.maximum(p[i] - q[i], 0.0)
+        s = float(r.sum())
+        dist = r / s if s > 1e-12 else p[i] / float(p[i].sum())
+        return [int(t) for t in xs[:i]] + [int(rng.choice(len(dist),
+                                                          p=dist))]
+    bonus = p[k] / float(p[k].sum())
+    return [int(t) for t in xs] + [int(rng.choice(len(bonus), p=bonus))]
+
+
 class SpeculativeEngine:
     """Greedy speculative decoding over two `Engine`s sharing a vocab.
 
@@ -96,6 +121,11 @@ class SpeculativeEngine:
                               qcfg=draft.qcfg, impl=draft.impl),
             static_argnames=("steps", "temperature", "prompt_len",
                              "top_k", "top_p", "repetition_penalty"))
+        self._draft_sample_scan = jax.jit(
+            functools.partial(self._draft_sample_scan_fn, cfg=draft.cfg,
+                              qcfg=draft.qcfg, impl=draft.impl),
+            static_argnames=("steps", "temperature", "top_k", "top_p",
+                             "prompt_len"))
         self._replay_step = {
             "target": jax.jit(functools.partial(
                 Engine._decode_fn, cfg=target.cfg, qcfg=target.qcfg,
@@ -112,6 +142,58 @@ class SpeculativeEngine:
         }
         # rewind-path usage counters (tests + bench introspection)
         self.stats = {"rewind": 0, "replay": 0, "boundary_flush": 0}
+
+    @staticmethod
+    def _draft_sample_scan_fn(params, first_token, first_pos, caches, rng,
+                              *, cfg, qcfg, impl, steps: int,
+                              temperature: float, top_k: int, top_p: float,
+                              prompt_len: int):
+        """Sampling twin of Engine._decode_scan_fn that ALSO emits each
+        step's full warped probability row — the q measure the accept-
+        reject rule needs.  Same statically-scheduled flush segments;
+        no penalty/pad (speculative sampling is B=1, penalty-free).
+        Returns (tokens (B, steps), probs (B, steps, V), caches)."""
+        from kivi_tpu.serving import sampling
+
+        static_flush = prompt_len > 0 and qcfg.quantize_kv
+
+        def body(carry, _):
+            token, pos, caches, rng = carry
+            logits, caches = modeling.forward(
+                params, token, caches, cfg, qcfg, pos, mode="decode",
+                impl=impl, flush=not static_flush)
+            warped = sampling.warp_logits(
+                logits[:, -1, :], temperature=temperature, top_k=top_k,
+                top_p=top_p)
+            probs = jax.nn.softmax(warped, axis=-1)
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, warped).astype(
+                jnp.int32)[:, None]
+            return (nxt, pos + 1, caches, rng), (nxt[:, 0], probs)
+
+        carry = (first_token, first_pos, caches, rng)
+        if not static_flush:
+            carry, (toks, probs) = jax.lax.scan(body, carry, None,
+                                                length=steps)
+            return (jnp.swapaxes(toks, 0, 1),
+                    jnp.swapaxes(probs, 0, 1), carry[2])
+        events = Engine._flush_schedule(qcfg, prompt_len, steps)
+        tok_segs, prob_segs, done = [], [], 0
+        for b in sorted(events) + [steps]:
+            if b - done > 0:
+                carry, (toks, probs) = jax.lax.scan(body, carry, None,
+                                                    length=b - done)
+                tok_segs.append(jnp.swapaxes(toks, 0, 1))
+                prob_segs.append(jnp.swapaxes(probs, 0, 1))
+                done = b
+            if b in events:
+                fk, fv = events[b]
+                token, pos, caches, rng = carry
+                caches = modeling.flush_caches(caches, qcfg, impl,
+                                               k=fk, v=fv)
+                carry = (token, pos, caches, rng)
+        return (jnp.concatenate(tok_segs, axis=1),
+                jnp.concatenate(prob_segs, axis=1), carry[2])
 
     @staticmethod
     def _verify_fn(params, tokens, pos0, caches, *, prev_len, cfg, qcfg,
@@ -177,15 +259,32 @@ class SpeculativeEngine:
     # -- generation loop ----------------------------------------------------
 
     def generate(self, tokens: jax.Array, max_new_tokens: int,
-                 eos_token_id: Optional[int] = None) -> np.ndarray:
-        """Greedy generation, token-equal to target.generate(...,
-        temperature=0).  tokens (1, T) i32.  Returns (1, n) np.int32,
-        n <= max_new_tokens (early exit at EOS — trailing positions are
-        simply not produced).  Also records per-iteration acceptance in
-        self.last_acceptance for benchmarking."""
+                 eos_token_id: Optional[int] = None, *,
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0,
+                 rng: Optional[jax.Array] = None) -> np.ndarray:
+        """Speculative generation.  tokens (1, T) i32; returns (1, n)
+        np.int32, n <= max_new_tokens (early exit at EOS — trailing
+        positions are simply not produced).
+
+        temperature == 0: greedy, token-equal to target.generate(...,
+        temperature=0) for any draft.  temperature > 0: Leviathan
+        accept-reject over the HF warper chain (top_k/top_p) — the
+        output DISTRIBUTION equals sampling from the target directly
+        (per-token streams differ from target.generate: the random
+        choices are spent differently by construction).  Repetition
+        penalty is not supported speculatively.  Records per-iteration
+        acceptance counts in self.last_acceptance."""
+        from kivi_tpu.serving import sampling
+
         tgt, drf, k = self.target, self.draft, self.k
+        sampled = temperature > 0
         tokens = jnp.asarray(tokens, jnp.int32).reshape(1, -1)
         Tp = tokens.shape[1]
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        host_rng = np.random.default_rng(
+            int(jax.random.randint(jax.random.fold_in(rng, 7), (),
+                                   0, 2**31 - 1)))
 
         t_caches = modeling.init_caches(tgt.cfg, tgt.qcfg, 1,
                                         tgt.max_seq_len, tgt.cache_dtype)
@@ -194,21 +293,34 @@ class SpeculativeEngine:
         t_logits, t_caches = tgt._prefill(tgt.params, tokens, t_caches,
                                           None)
         _, d_caches = drf._prefill(drf.params, tokens, d_caches, None)
-        cur = int(jnp.argmax(t_logits, -1)[0])
+        if sampled:
+            rng, sub = jax.random.split(rng)
+            cur = int(sampling.sample_step(t_logits, sub,
+                                           temperature=temperature,
+                                           top_k=top_k, top_p=top_p)[0])
+        else:
+            cur = int(jnp.argmax(t_logits, -1)[0])
 
         out = [cur]
         N = Tp                       # committed tokens in BOTH caches
         self.last_acceptance = []
-        rng = jax.random.PRNGKey(0)  # unused: greedy
         while len(out) < max_new_tokens and (eos_token_id is None
                                              or out[-1] != eos_token_id):
             cur_dev = jnp.asarray([[cur]], jnp.int32)
             pos = jnp.full((1, 1), N, jnp.int32)
             d_old, t_old = d_caches, t_caches
             # 1) draft proposes k tokens in one scan
-            d_toks, d_caches = self._draft_scan(
-                drf.params, cur_dev, pos, d_caches, rng, None, None,
-                steps=k, prompt_len=canonical_phase(drf.qcfg, N))
+            if sampled:
+                rng, sub = jax.random.split(rng)
+                d_toks, q_probs, d_caches = self._draft_sample_scan(
+                    drf.params, cur_dev, pos, d_caches, sub, steps=k,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    prompt_len=canonical_phase(drf.qcfg, N))
+                q_probs = np.asarray(q_probs[0], np.float64)  # (k, V)
+            else:
+                d_toks, d_caches = self._draft_scan(
+                    drf.params, cur_dev, pos, d_caches, rng, None, None,
+                    steps=k, prompt_len=canonical_phase(drf.qcfg, N))
             d_toks = np.asarray(d_toks[0])
             # 2) target scores [cur] + draft tokens in one extend
             v_in = jnp.concatenate(
@@ -216,11 +328,21 @@ class SpeculativeEngine:
             t_logits, t_caches = self._verify(
                 tgt.params, v_in, jnp.full((), N, jnp.int32), t_caches,
                 prev_len=canonical_phase(tgt.qcfg, N))
-            t_pred = np.asarray(jnp.argmax(t_logits, -1)[0])  # (k+1,)
-            # 3) longest matching prefix + bonus/corrected token
-            j = int(np.argmax(t_pred[:k] != d_toks)) \
-                if (t_pred[:k] != d_toks).any() else k
-            emitted = [int(t) for t in d_toks[:j]] + [int(t_pred[j])]
+            # 3) accepted prefix + corrected/bonus token
+            if sampled:
+                p_probs = np.asarray(jax.nn.softmax(
+                    sampling.warp_logits(t_logits[0],
+                                         temperature=temperature,
+                                         top_k=top_k, top_p=top_p),
+                    axis=-1), np.float64)                     # (k+1, V)
+                emitted = spec_accept(p_probs, q_probs, d_toks,
+                                      host_rng.random(k), host_rng)
+                j = len(emitted) - 1
+            else:
+                t_pred = np.asarray(jnp.argmax(t_logits, -1)[0])  # (k+1,)
+                j = int(np.argmax(t_pred[:k] != d_toks)) \
+                    if (t_pred[:k] != d_toks).any() else k
+                emitted = [int(t) for t in d_toks[:j]] + [int(t_pred[j])]
             self.last_acceptance.append(j)
             # 4) rewind both caches to the N + j + 1 committed tokens
             fed = [cur] + [int(t) for t in d_toks]

@@ -100,6 +100,44 @@ def test_eos_early_exit():
     np.testing.assert_array_equal(got, want)
 
 
+def test_spec_accept_marginal_matches_target():
+    """The Leviathan theorem: the first emitted token's marginal equals
+    the target distribution p exactly, for ANY proposal q.  Checked
+    empirically at V=6 with an adversarially different q."""
+    from kivi_tpu.serving.speculative import spec_accept
+
+    rng = np.random.default_rng(0)
+    V = 6
+    p = rng.dirichlet(np.ones(V), size=2)         # (k+1=2, V)
+    q = rng.dirichlet(np.full(V, 0.3), size=1)    # (k=1, V), spiky
+    n = 40_000
+    counts = np.zeros(V)
+    xs = rng.choice(V, size=n, p=q[0])
+    us = rng.random(n)
+    for t in range(n):
+        emitted = spec_accept(p, q, np.asarray([xs[t]]),
+                              np.asarray([us[t]]), rng)
+        counts[emitted[0]] += 1
+    tv = 0.5 * np.abs(counts / n - p[0]).sum()
+    assert tv < 0.02, (tv, counts / n, p[0])
+
+
+def test_sampled_generation_runs_and_is_seed_deterministic():
+    """temperature > 0 end to end: completes, stays in-vocab, and the
+    same rng seed reproduces the same stream (host + device choices
+    both keyed off it)."""
+    tgt = _eng(seed=0)
+    drf = _eng(cfg=SMALL, seed=3)
+    spec = SpeculativeEngine(tgt, drf, k=4)
+    kw = dict(temperature=0.8, top_k=20, top_p=0.95,
+              rng=jax.random.PRNGKey(11))
+    a = spec.generate(_prompt(6), 25, **kw)
+    spec2 = SpeculativeEngine(_eng(seed=0), _eng(cfg=SMALL, seed=3), k=4)
+    b = spec2.generate(_prompt(6), 25, **kw)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (1, 25) and (a < CFG.vocab_size).all()
+
+
 def test_rejects_batched_engines():
     params = modeling.init_params(CFG, jax.random.PRNGKey(0))
     big = Engine(cfg=CFG, qcfg=QCFG, params=params, max_seq_len=128,

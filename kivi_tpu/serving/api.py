@@ -61,6 +61,11 @@ class ServingAPI:
         self._events: dict[int, threading.Event] = {}
         self._reported: set[int] = set()
         self._stop = threading.Event()
+        # set when the stepper hits an unrecoverable exception: pending
+        # requests are failed (empty results), new ones get 503, and
+        # /v1/health reports the error — instead of the alternative
+        # (dead stepper thread, every handler blocked forever)
+        self.error: str | None = None
         api = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -74,7 +79,8 @@ class ServingAPI:
                     return
                 with api._lock:
                     body = json.dumps({
-                        "status": "ok",
+                        "status": "error" if api.error else "ok",
+                        "error": api.error,
                         "active_slots": int(api.batcher.active.sum()),
                         "queued": len(api.batcher.queue),
                     }).encode()
@@ -97,6 +103,9 @@ class ServingAPI:
                     self.send_error(400, explain=str(e))
                     return
                 stream = bool(spec.get("stream", False))
+                if api.error is not None:
+                    self.send_error(503, explain=api.error)
+                    return
                 uid, q, ev = api._register(stream)
                 req = Request(
                     uid=uid, prompt=prompt, max_new_tokens=max_new,
@@ -160,13 +169,22 @@ class ServingAPI:
 
     def _stepper(self):
         """The ONE thread that touches jit: admit/decode/retire, then
-        fan completion out to waiting handler threads."""
+        fan completion out to waiting handler threads.  A step
+        exception fails every in-flight request (empty Result) and
+        flips the server into 503 mode rather than hanging clients."""
+        from kivi_tpu.serving.batcher import Result
+
         while not self._stop.is_set():
             with self._lock:
                 idle = not (self.batcher.queue or self.batcher.active.any())
                 if not idle:
-                    self.batcher.step()
-                    self.batcher._retire()     # deliver without 1-step lag
+                    try:
+                        self.batcher.step()
+                        self.batcher._retire()   # deliver, no 1-step lag
+                    except Exception as e:       # noqa: BLE001
+                        self.error = repr(e)
+                        for u in (set(self._streams) | set(self._events)):
+                            self.batcher.results.setdefault(u, Result(u, []))
                 done = [u for u in self.batcher.results
                         if u not in self._reported]
                 for u in done:
@@ -175,6 +193,8 @@ class ServingAPI:
                         self._streams.pop(u).put(_DONE)
                     if u in self._events:
                         self._events.pop(u).set()
+                if self.error is not None:
+                    return
             if idle:
                 self._stop.wait(0.005)
 

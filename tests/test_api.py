@@ -109,6 +109,39 @@ def test_rejected_request_returns_empty(api):
     conn.close()
 
 
+def test_step_exception_fails_pending_and_503s():
+    """A step() exception must fail in-flight requests (empty tokens)
+    and flip the server to 503 + error health — never hang clients."""
+    bat = _batcher()
+    orig_admit = bat._admit
+    calls = {"n": 0}
+
+    def boom():
+        calls["n"] += 1
+        if calls["n"] >= 2:          # let the first request admit, then die
+            raise RuntimeError("injected step failure")
+        orig_admit()
+
+    with ServingAPI(bat) as srv:
+        bat._admit = boom
+        conn, resp = _post(srv.port, {"prompt": _prompt(5),
+                                      "max_new_tokens": 50})
+        body = json.loads(resp.read())
+        conn.close()
+        assert body["tokens"] == [] or len(body["tokens"]) < 50
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                          timeout=30)
+        conn.request("GET", "/v1/health")
+        health = json.loads(conn.getresponse().read())
+        conn.close()
+        assert health["status"] == "error"
+        assert "injected step failure" in health["error"]
+        conn, resp = _post(srv.port, {"prompt": _prompt(6),
+                                      "max_new_tokens": 2})
+        assert resp.status == 503
+        conn.close()
+
+
 def test_prefix_served_through_cache():
     """POST with "prefix": ids — served through the PrefixCache (second
     request is an exact hit), token-equal to generate(prefix=)."""

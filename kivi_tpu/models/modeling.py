@@ -118,10 +118,14 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
     or 'extend' (T suffix tokens onto a cache holding prev_len — STATIC —
     tokens: chunked prefill / prefix caching).
 
-    seq_mesh: optional (Mesh, axis-name) — prefill-only sequence
-    parallelism: the token axis arrives sharded over the mesh axis and
-    attention runs as a ring (parallel/ring.py).  Cache ingest gathers
-    K/V first (O(T) bytes vs the ring's O(T²) FLOP win)."""
+    seq_mesh: optional (Mesh, axis-name[, perm]) — prefill-only
+    sequence parallelism: the token axis arrives sharded over the mesh
+    axis and attention runs as a ring (parallel/ring.py).  Cache ingest
+    gathers K/V first (O(T) bytes vs the ring's O(T²) FLOP win).  An
+    optional third element `perm` (static (T,) int array) says slot s
+    holds true token perm[s] — the zigzag load-balanced layout; the
+    ring masks by true positions and ingest un-permutes K/V back to
+    token order."""
     B, T, _ = x.shape
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -137,27 +141,38 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
     k = apply_rope(k, cos, sin)
 
     if mode == "prefill":
+        perm = (seq_mesh[2] if seq_mesh is not None and len(seq_mesh) > 2
+                else None)
         if pad_len is not None:
             # Pad slots occupy real cache positions but must never leak:
             # attention masks them (positions < pad_len[b]) and the
             # stored K/V are zeroed so K quantization groups straddling
             # the pad boundary see 0s rather than garbage activations.
-            live = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, T, 1), 2)
+            # True position of slot s is perm[s] under a striped layout.
+            truepos = (jnp.arange(T, dtype=jnp.int32) if perm is None
+                       else jnp.asarray(perm, jnp.int32))
+            live = (truepos[None, None, :, None]
                     >= jnp.asarray(pad_len, jnp.int32).reshape(B, 1, 1, 1))
             k = jnp.where(live, k, 0)
             v = jnp.where(live, v, 0)
         if seq_mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
             from kivi_tpu.parallel.ring import ring_attention
-            mesh, saxis = seq_mesh
+            mesh, saxis = seq_mesh[0], seq_mesh[1]
             out = ring_attention(q, k, v, mesh, axis=saxis,
                                  sliding_window=cfg.sliding_window,
-                                 pad_len=pad_len)
+                                 pad_len=pad_len, positions=perm)
             # ingest wants whole quant groups: gather the token axis
             # back (O(T·H·D) bytes — the SP win is attention's O(T²))
             rep = NamedSharding(mesh, PartitionSpec())
             k = jax.lax.with_sharding_constraint(k, rep)
             v = jax.lax.with_sharding_constraint(v, rep)
+            if perm is not None:
+                import numpy as _np
+                inv = jnp.asarray(_np.argsort(_np.asarray(perm)),
+                                  jnp.int32)
+                k = jnp.take(k, inv, axis=2)
+                v = jnp.take(v, inv, axis=2)
         else:
             out = prefill_attention(q, k, v,
                                     sliding_window=cfg.sliding_window,
@@ -232,7 +247,8 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             flush: bool = True,
             pad_len: Optional[jax.Array] = None,
             active: Optional[jax.Array] = None,
-            prev_len: int = 0, seq_mesh=None) -> Tuple[jax.Array, Any]:
+            prev_len: int = 0, seq_mesh=None,
+            last_index: Optional[int] = None) -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 ROPE positions (for
     left-padded rows: cache index minus pad_len, clamped at 0).
 
@@ -268,7 +284,10 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
                                       active=active, prev_len=prev_len,
                                       seq_mesh=seq_mesh)
     if last_only:
-        x = x[:, -1:, :]
+        # last_index: STATIC slot of the sequence's true last token —
+        # under a striped (permuted) layout it is not slot T-1
+        i = -1 if last_index is None else last_index
+        x = x[:, i:, :] if i == -1 else x[:, i:i + 1, :]
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
     logits = (x @ params["lm_head"]).astype(jnp.float32)
     return logits, caches

@@ -59,14 +59,24 @@ def _block_attn(q, k, v, qpos, kpos, pad_len, sliding_window, scale):
 
 
 def ring_attention(q, k, v, mesh: Mesh, *, axis: str = DATA_AXIS,
-                   sliding_window=None, pad_len=None):
+                   sliding_window=None, pad_len=None, positions=None):
     """Causal self-attention with the TOKEN axis sharded over `axis`.
 
     q: (B, Hq, T, D), k/v: (B, Hkv, T, D) — global views whose T axis is
     sharded over mesh axis `axis` in contiguous blocks (device i holds
-    tokens [i*Tl, (i+1)*Tl)).  GQA by head-group fold (Hq = r * Hkv).
+    slots [i*Tl, (i+1)*Tl)).  GQA by head-group fold (Hq = r * Hkv).
     pad_len: optional (B,) i32 left-pad (replicated).  Returns
     (B, Hq, T, D) in q.dtype, T sharded the same way.
+
+    positions: optional (T,) i32 — the TRUE token index living in each
+    slot, sharded like the token axis.  Masking (causal / window / pad)
+    is computed from these, so any token permutation is handled
+    exactly: each K/V block rides the ring WITH its position vector.
+    None means slot i holds token i (contiguous layout).  The zigzag
+    layout from `zigzag_perm` uses this to balance the causal load:
+    contiguous blocks make device i do i+1 live steps (the last device
+    serializes the whole ring), striping pairs block j with block
+    2n-1-j so every device does ~(n+1) half-blocks of work.
 
     Matches one-device causal attention on the gathered arrays to fp32
     tolerance (tests/test_ring.py pins this on an 8-device CPU mesh).
@@ -77,11 +87,10 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = DATA_AXIS,
     r = Hq // Hkv
     scale = 1.0 / (D ** 0.5)
 
-    def local(q_blk, k_blk, v_blk, pad):
-        idx = jax.lax.axis_index(axis)
+    def local(q_blk, k_blk, v_blk, pad, pos_blk):
         Tl = q_blk.shape[2]
         qg = q_blk.astype(jnp.float32).reshape(B, Hkv, r, Tl, D)
-        qpos = idx * Tl + jnp.arange(Tl)
+        qpos = pos_blk
         # pcast-to-varying: the accumulators start as device-invariant zeros but
         # become device-varying inside the loop — mark them up front so
         # the two lax.cond branches agree under the VMA checker
@@ -94,10 +103,9 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = DATA_AXIS,
         perm = [(i, (i + 1) % n) for i in range(n)]
 
         def step(t, carry):
-            acc, m_run, l_run, kb, vb, src = carry
+            acc, m_run, l_run, kb, vb, kpos = carry
 
             def live(_):
-                kpos = src * Tl + jnp.arange(Tl)
                 u_sum, m_loc, pv = _block_attn(
                     qg, kb, vb, qpos, kpos, pad, sliding_window, scale)
                 m_new = jnp.maximum(m_run, m_loc)
@@ -106,16 +114,17 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = DATA_AXIS,
                 return (acc * a[..., None] + pv * b[..., None],
                         m_new, l_run * a + u_sum * b)
 
-            # dead when this K/V block starts past my newest query
-            # (sliding window adds no extra whole-block death for
-            # W >= Tl; per-token masking inside live() handles it)
+            # dead when every key in this block is past my newest
+            # query, or (sliding window) before every query's window
+            alive = jnp.min(kpos) <= jnp.max(qpos)
+            if sliding_window is not None:
+                alive &= jnp.max(kpos) > jnp.min(qpos) - sliding_window
             acc, m_run, l_run = jax.lax.cond(
-                src * Tl <= qpos[-1], live,
-                lambda _: (acc, m_run, l_run), None)
-            kb, vb, src = jax.lax.ppermute((kb, vb, src), axis, perm)
-            return acc, m_run, l_run, kb, vb, src
+                alive, live, lambda _: (acc, m_run, l_run), None)
+            kb, vb, kpos = jax.lax.ppermute((kb, vb, kpos), axis, perm)
+            return acc, m_run, l_run, kb, vb, kpos
 
-        carry = (acc, m_run, l_run, k_blk, v_blk, jax.lax.axis_index(axis))
+        carry = (acc, m_run, l_run, k_blk, v_blk, qpos)
         acc, m_run, l_run, *_ = jax.lax.fori_loop(0, n, step, carry)
         out = acc / jnp.maximum(l_run[..., None], 1e-30)
         return out.reshape(B, Hq, Tl, D).astype(q_blk.dtype)
@@ -123,6 +132,34 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = DATA_AXIS,
     spec = P(None, None, axis, None)
     pad_arg = (jnp.asarray(pad_len, jnp.int32).reshape(B)
                if pad_len is not None else jnp.zeros((B,), jnp.int32))
-    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec, P()),
+    pos_arg = (jnp.asarray(positions, jnp.int32).reshape(T)
+               if positions is not None
+               else jnp.arange(T, dtype=jnp.int32))
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(spec, spec, spec, P(), P(axis)),
                    out_specs=spec)
-    return fn(q, k, v, pad_arg)
+    return fn(q, k, v, pad_arg, pos_arg)
+
+
+def zigzag_perm(T: int, n: int):
+    """Load-balancing permutation for an n-device ring over T tokens:
+    2n half-blocks, device i holds halves (i, 2n-1-i), so each device's
+    causal work is ~constant instead of proportional to its rank.
+
+    Returns (perm, inv) as int32 numpy arrays: `x_striped = x[perm]`
+    lays out the striped order, `x = x_striped[inv]` undoes it, and
+    `perm` itself is the per-slot true-position vector to pass as
+    ring_attention(positions=...).  Requires T % (2 * n) == 0."""
+    import numpy as np
+
+    if T % (2 * n):
+        raise ValueError(f"T={T} not divisible by 2*n={2 * n}")
+    h = T // (2 * n)
+    blocks = []
+    for i in range(n):
+        blocks.append(np.arange(i * h, (i + 1) * h))
+        j = 2 * n - 1 - i
+        blocks.append(np.arange(j * h, (j + 1) * h))
+    perm = np.concatenate(blocks).astype(np.int32)
+    inv = np.argsort(perm).astype(np.int32)
+    return perm, inv

@@ -199,23 +199,26 @@ class Engine:
 
     @staticmethod
     def _prefill_fn(params, tokens, caches, pad=None, *, cfg, qcfg, impl,
-                    seq_mesh=None):
+                    seq_mesh=None, last_index=None):
         """tokens (B, T) LEFT-padded by pad (B,) slots per row (None =
         unpadded, zero masking overhead); RoPE positions are true token
         indices (i - pad, clamped at 0), the HF position_ids convention
-        for left-padded generation.  seq_mesh: (Mesh, axis) routes
-        prefill attention through the sequence-parallel ring."""
+        for left-padded generation.  seq_mesh: (Mesh, axis[, perm])
+        routes prefill attention through the sequence-parallel ring;
+        under a striped layout slot s holds token perm[s] (RoPE uses
+        the true index) and last_index is the true-last-token slot."""
         B, T = tokens.shape
+        truepos = (jnp.asarray(seq_mesh[2], jnp.int32)
+                   if seq_mesh is not None and len(seq_mesh) > 2
+                   else jnp.arange(T, dtype=jnp.int32))
         if pad is None:
-            positions = jnp.broadcast_to(
-                jnp.arange(T, dtype=jnp.int32), (B, T))
+            positions = jnp.broadcast_to(truepos, (B, T))
         else:
-            positions = jnp.maximum(
-                jnp.arange(T, dtype=jnp.int32)[None, :] - pad[:, None], 0)
+            positions = jnp.maximum(truepos[None, :] - pad[:, None], 0)
         logits, caches = modeling.forward(
             params, tokens, caches, cfg, qcfg, positions,
             mode="prefill", impl=impl, last_only=True, pad_len=pad,
-            seq_mesh=seq_mesh)
+            seq_mesh=seq_mesh, last_index=last_index)
         return logits[:, -1, :], caches
 
     @staticmethod
@@ -444,7 +447,7 @@ class Engine:
                                     self.max_seq_len, self.cache_dtype)
 
     def prefill_seqpar(self, tokens: jax.Array, mesh, axis: str = "data",
-                       caches=None, pad_lens=None):
+                       caches=None, pad_lens=None, striped: bool = False):
         """One-shot prefill with the TOKEN axis sharded over a mesh
         axis: attention runs as a ring over ICI (parallel/ring.py), so
         an n-chip slice splits the O(T²) prompt FLOPs n ways — the
@@ -453,22 +456,36 @@ class Engine:
         prefill.  tokens (B, T) with T % mesh.shape[axis] == 0; K/V are
         gathered per layer before cache ingest (O(T) bytes).  Returns
         (last-token logits (B, V), caches), same contract as prefill.
+
+        striped: lay the tokens out in the zigzag order (ring.py
+        `zigzag_perm`, needs T % 2n == 0) so every device does ~equal
+        causal work instead of device i doing i+1 ring steps — ~2x
+        wall-clock on large rings.  The permutation is internal: caches
+        and logits come back in true token order.
         """
         n = mesh.shape[axis]
         B, T = tokens.shape
         if T % n:
             raise ValueError(f"prompt length {T} not divisible by the "
                              f"{n}-device '{axis}' mesh axis")
-        key = (mesh, axis)
+        tokens = jnp.asarray(tokens, jnp.int32)
+        seq_mesh, last_index = (mesh, axis), None
+        if striped:
+            from kivi_tpu.parallel.ring import zigzag_perm
+            perm, inv = zigzag_perm(T, n)
+            tokens = tokens[:, perm]
+            seq_mesh = (mesh, axis, perm)
+            last_index = int(inv[T - 1])
+        key = (mesh, axis, T if striped else None)
         if key not in self._prefill_sp:
             self._prefill_sp[key] = jax.jit(
                 functools.partial(self._prefill_fn, cfg=self.cfg,
                                   qcfg=self.qcfg, impl=self.impl,
-                                  seq_mesh=(mesh, axis)),
+                                  seq_mesh=seq_mesh,
+                                  last_index=last_index),
                 donate_argnums=(2,))
         from jax.sharding import NamedSharding, PartitionSpec as P
-        tokens = jax.device_put(jnp.asarray(tokens, jnp.int32),
-                                NamedSharding(mesh, P(None, axis)))
+        tokens = jax.device_put(tokens, NamedSharding(mesh, P(None, axis)))
         if caches is None:
             caches = modeling.init_caches(self.cfg, self.qcfg, B,
                                           self.max_seq_len,

@@ -96,6 +96,52 @@ def test_ring_bf16_inputs():
         rtol=3e-2, atol=3e-2)
 
 
+def test_ring_zigzag_matches_oracle():
+    """Striped layout: inputs permuted by zigzag_perm, positions passed
+    explicitly — un-permuted output must equal the contiguous oracle
+    (the permutation only rebalances the causal load)."""
+    from kivi_tpu.parallel.ring import zigzag_perm
+
+    mesh = _mesh()
+    q, k, v = _rand(2, 4, 2, 64, 16, seed=5)
+    perm, inv = zigzag_perm(64, 8)
+    got_z = ring_attention(q[:, :, perm], k[:, :, perm], v[:, :, perm],
+                           mesh, positions=perm)
+    got = np.asarray(got_z)[:, :, inv]
+    np.testing.assert_allclose(got, np.asarray(_oracle(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_zigzag_sliding_window_and_pad():
+    from kivi_tpu.parallel.ring import zigzag_perm
+
+    mesh = _mesh()
+    q, k, v = _rand(2, 4, 4, 64, 16, seed=6)
+    perm, inv = zigzag_perm(64, 8)
+    pad = jnp.asarray([0, 9], jnp.int32)
+    got_z = ring_attention(q[:, :, perm], k[:, :, perm], v[:, :, perm],
+                           mesh, positions=perm, sliding_window=20,
+                           pad_len=pad)
+    got = np.asarray(got_z)[:, :, inv]
+    want = np.asarray(_oracle(q, k, v, sliding_window=20, pad_len=pad))
+    for b in range(2):
+        np.testing.assert_allclose(got[b, :, int(pad[b]):],
+                                   want[b, :, int(pad[b]):],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_zigzag_perm_properties():
+    from kivi_tpu.parallel.ring import zigzag_perm
+
+    perm, inv = zigzag_perm(96, 4)
+    assert (perm[inv] == np.arange(96)).all()
+    # device 0's shard holds halves 0 and 7 (first + last tokens)
+    shard0 = perm[:24]
+    assert shard0[0] == 0 and shard0[-1] == 95
+    with pytest.raises(ValueError, match="divisible"):
+        zigzag_perm(60, 8)
+
+
 def test_engine_seqpar_prefill_matches_one_shot():
     """Full-model sequence-parallel prefill (Engine.prefill_seqpar) vs
     the ordinary one-shot prefill: same logits to fp32 tolerance, and a
@@ -131,6 +177,71 @@ def test_engine_seqpar_prefill_matches_one_shot():
     d1, _ = e1._decode(params, nxt, pos, c1, None)
     d2, _ = e2._decode(params, nxt, pos, c2, None)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_engine_seqpar_striped_matches_one_shot():
+    """striped=True (zigzag layout): same logits and a matching teacher-
+    forced decode step — the permutation is internal, caches come back
+    in true token order."""
+    from kivi_tpu.config import QuantConfig, tiny_config
+    from kivi_tpu.models import modeling
+    from kivi_tpu.serving.engine import Engine
+
+    mesh = _mesh()
+    cfg = tiny_config()
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=32)
+    params = modeling.init_params(cfg, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(2), (2, 64), 1,
+                              cfg.vocab_size, jnp.int32)
+
+    def eng():
+        e = Engine(cfg=cfg, qcfg=qcfg, params=params, max_seq_len=256,
+                   batch_size=2)
+        e.cache_dtype = jnp.float32
+        return e
+
+    e1, e2 = eng(), eng()
+    lg1, c1 = e1._prefill(params, toks, e1.init_caches(), None)
+    lg2, c2 = e2.prefill_seqpar(toks, mesh, striped=True)
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2),
+                               rtol=2e-4, atol=2e-4)
+    nxt = jnp.argmax(lg1, -1)[:, None].astype(jnp.int32)
+    pos = jnp.full((2, 1), 64, jnp.int32)
+    d1, _ = e1._decode(params, nxt, pos, c1, None)
+    d2, _ = e2._decode(params, nxt, pos, c2, None)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_engine_seqpar_striped_with_pad():
+    from kivi_tpu.config import QuantConfig, tiny_config
+    from kivi_tpu.models import modeling
+    from kivi_tpu.serving.engine import Engine
+
+    mesh = _mesh()
+    cfg = tiny_config()
+    qcfg = QuantConfig(k_bits=8, v_bits=8, group_size=32,
+                       residual_length=32)
+    params = modeling.init_params(cfg, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    toks = jax.random.randint(jax.random.PRNGKey(3), (2, 64), 1,
+                              cfg.vocab_size, jnp.int32)
+    pads = [0, 11]
+
+    def eng():
+        e = Engine(cfg=cfg, qcfg=qcfg, params=params, max_seq_len=256,
+                   batch_size=2)
+        e.cache_dtype = jnp.float32
+        return e
+
+    e1, e2 = eng(), eng()
+    lg1, _ = e1._prefill(params, toks, e1.init_caches(),
+                         jnp.asarray(pads, jnp.int32))
+    lg2, _ = e2.prefill_seqpar(toks, mesh, pad_lens=pads, striped=True)
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg2),
                                rtol=2e-4, atol=2e-4)
 
 

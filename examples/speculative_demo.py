@@ -1,0 +1,94 @@
+"""Speculative decoding demo / latency harness.
+
+Measures B=1 decode latency of `SpeculativeEngine` against the plain
+engine at the acceptance-rate BOUNDS reachable without real weights:
+
+  * upper bound — draft == target (every proposal accepted): the best
+    case k+1 tokens per (draft scan + verify extend) pair;
+  * lower bound — a random 1/4-depth draft (acceptance ~0): pure
+    overhead, one token per iteration plus wasted draft work.
+
+With real checkpoints the operating point sits between the bounds
+(paper-typical acceptance 2-4 of k=4 with a distilled draft).  On a
+random-weight model only the bounds are meaningful — this harness
+exists so the real-chip A/B is one command when weights/tunnel allow.
+
+Usage: python examples/speculative_demo.py [--layers 8] [--gen 128]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kivi_tpu.config import ModelConfig, QuantConfig
+from kivi_tpu.models import modeling
+from kivi_tpu.serving.engine import Engine
+from kivi_tpu.serving.speculative import SpeculativeEngine
+
+
+def _cfg(layers: int) -> ModelConfig:
+    return ModelConfig(vocab_size=2048, hidden_size=512,
+                       intermediate_size=1024, num_layers=layers,
+                       num_heads=8, num_kv_heads=8, head_dim=64,
+                       max_position_embeddings=4096)
+
+
+def _eng(cfg, qcfg, seed, max_seq):
+    params = modeling.init_params(cfg, jax.random.PRNGKey(seed))
+    return Engine(cfg=cfg, qcfg=qcfg, params=params,
+                  max_seq_len=max_seq,
+                  batch_size=1,
+                  impl="pallas" if jax.default_backend() == "tpu"
+                  else "jnp")
+
+
+def _time(fn):
+    fn()                       # warm (compiles)
+    t0 = time.perf_counter()
+    out = fn()
+    # host readback is the only real sync over the axon tunnel
+    float(np.asarray(out).sum())
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--gen", type=int, default=128)
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--prompt", type=int, default=160)
+    args = ap.parse_args()
+
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=128)
+    # room for the full residual window on top of prompt+gen (a cache
+    # smaller than residual_length cannot hold one flush)
+    max_seq = 1 << (args.prompt + args.gen
+                    + qcfg.residual_length + 1).bit_length()
+    tgt = _eng(_cfg(args.layers), qcfg, 0, max_seq)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (1, args.prompt),
+                              1, 2048, jnp.int32)
+
+    t_plain = _time(lambda: tgt.generate(toks, args.gen))
+    plain_tps = args.gen / t_plain
+    print(f"plain engine      : {plain_tps:8.1f} tok/s", file=sys.stderr)
+
+    for name, drf_seed, drf_layers in (
+            ("upper (perfect)", 0, args.layers),
+            ("lower (random) ", 7, max(1, args.layers // 4))):
+        drf = _eng(_cfg(drf_layers), qcfg, drf_seed, max_seq)
+        spec = SpeculativeEngine(tgt, drf, k=args.k)
+        t = _time(lambda: spec.generate(toks, args.gen))
+        acc = np.mean(spec.last_acceptance) if spec.last_acceptance else 0
+        print(f"spec {name}: {args.gen / t:8.1f} tok/s  "
+              f"(x{t_plain / t:4.2f} vs plain, mean acceptance "
+              f"{acc:.2f}/{args.k}, rewinds {spec.stats})",
+              file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,10 +47,12 @@ def _eng(cfg, qcfg, seed, max_seq):
 
 
 def _time(fn):
-    fn()                       # warm (compiles)
+    # host readback is the only real sync over the axon tunnel
+    # (kivi_tpu/utils/timing.py rule) — the WARM run must sync too or
+    # its tail overlaps the timed run
+    float(np.asarray(fn()).sum())      # warm (compiles) + sync
     t0 = time.perf_counter()
     out = fn()
-    # host readback is the only real sync over the axon tunnel
     float(np.asarray(out).sum())
     return time.perf_counter() - t0
 

@@ -307,11 +307,37 @@ class ContinuousBatcher:
     # -- host-side loop -----------------------------------------------------
 
     def submit(self, req: Request):
+        if req.prefix_tokens is not None and not req.prefix_tokens:
+            req = dataclasses.replace(req, prefix_tokens=None)
         if req.prefix_tokens is not None and self.prefix_cache is None:
             raise ValueError(
                 "Request.prefix_tokens needs ContinuousBatcher("
                 "prefix_cache=PrefixCache(...))")
         self.queue.append(req)
+
+    def cancel(self, uid: int) -> bool:
+        """Stop a request: drop it from the queue, or free its slot if
+        it is mid-decode (the slot's cache slots are simply reused by
+        the next admission).  Records an empty/partial Result so run()
+        still terminates.  Returns True if the uid was found live.
+        The serving API calls this when a streaming client disconnects
+        — without it an orphaned request decodes to max_new_tokens on
+        device time other requests could use."""
+        for i, req in enumerate(self.queue):
+            if req.uid == uid:
+                del self.queue[i]
+                self.results[uid] = Result(uid, [])
+                return True
+        for s in range(self.S):
+            req = self.slot_req[s]
+            if req is not None and req.uid == uid:
+                self.results[uid] = Result(uid, self.slot_out[s])
+                self.active[s] = False
+                self.act_dev = self.act_dev.at[s].set(False)
+                self.slot_req[s] = None
+                self.slot_out[s] = []
+                return True
+        return False
 
     def _bucket_for(self, n: int) -> Optional[int]:
         """Padded prompt length for an n-token prompt: next multiple of
@@ -338,21 +364,27 @@ class ContinuousBatcher:
 
         while self.queue and not self.active.all():
             req = self.queue[0]
-            # per-request prefix (through the prefix_cache manager)
-            # overrides the batcher-global shared prefix
-            prefix = self.prefix
-            if req.prefix_tokens is not None:
-                prefix = self.prefix_cache.get(req.prefix_tokens)
-            P = prefix.length if prefix is not None else 0
+            # capacity check BEFORE any prefix work: the prefix length
+            # equals its token count, so an oversized request is
+            # rejected without paying its prefix prefill (or letting a
+            # too-long prefix crash the engine and 503 the server)
+            has_prefix = (req.prefix_tokens is not None
+                          or self.prefix is not None)
+            P = (len(req.prefix_tokens) if req.prefix_tokens is not None
+                 else self.prefix.length if self.prefix is not None
+                 else 0)
             # cache usage is P + bucket + max_new (pad slots occupy
             # cache positions), so admission checks the BUCKETED length
-            bucket = ((len(req.prompt) or None)
-                      if prefix is not None
+            bucket = ((len(req.prompt) or None) if has_prefix
                       else self._bucket_for(len(req.prompt)))
             if bucket is None or P + bucket + req.max_new_tokens > self.T:
                 self.queue.popleft()
                 self.results[req.uid] = Result(req.uid, [])  # rejected
                 continue
+            # per-request prefix (through the prefix_cache manager)
+            # overrides the batcher-global shared prefix
+            prefix = (self.prefix_cache.get(req.prefix_tokens)
+                      if req.prefix_tokens is not None else self.prefix)
             slot = int(np.argmin(self.active))
             req = self.queue.popleft()
             prompt = list(req.prompt)

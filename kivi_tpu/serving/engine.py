@@ -41,6 +41,19 @@ def canonical_phase(qcfg: QuantConfig, prompt_len: int) -> int:
     return prompt_len
 
 
+def nkq_prefill(T: int, W: int) -> int:
+    """Quantized-key count in prefill/extend-canonical state (keys are
+    block-flushed: every full W-window is in the store)."""
+    return (T // W) * W
+
+
+def nvq_canonical(T: int, W: int, vf: int) -> int:
+    """Quantized-value count at T tokens — same formula in prefill,
+    extend and decode canonical states (V flushes vf-granules once the
+    window has filled past W)."""
+    return 0 if T <= W else ((T - W + vf - 1) // vf) * vf
+
+
 def phase_period(qcfg: QuantConfig) -> int:
     """lcm(W, v_flush): chunk sizes that are a multiple of this keep
     every interior chunk of a chunked prefill on one phase."""
@@ -258,8 +271,8 @@ class Engine:
         Returns {step_index: (flush_k, flush_v)}."""
         W, vf = qcfg.residual_length, qcfg.value_flush
         T = prompt_len
-        nkq0 = (T // W) * W
-        nvq0 = 0 if T <= W else ((T - W + vf - 1) // vf) * vf
+        nkq0 = nkq_prefill(T, W)
+        nvq0 = nvq_canonical(T, W, vf)
         i_k0 = W - (T - nkq0)
         i_v0 = W - (T - nvq0)
         events = {}

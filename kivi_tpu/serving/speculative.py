@@ -44,17 +44,9 @@ import numpy as np
 from kivi_tpu.cache.fp_cache import FpLayerCache
 from kivi_tpu.cache.kivi_cache import flush_k_now
 from kivi_tpu.models import modeling
-from kivi_tpu.serving.engine import Engine, canonical_phase
-
-
-def _nkq_prefill(T: int, W: int) -> int:
-    """Quantized-key count in prefill/extend-canonical state."""
-    return (T // W) * W
-
-
-def _nvq(T: int, W: int, vf: int) -> int:
-    """Quantized-value count: same formula in every canonical state."""
-    return 0 if T <= W else ((T - W + vf - 1) // vf) * vf
+from kivi_tpu.serving.engine import (Engine, canonical_phase,
+                                     nkq_prefill as _nkq_prefill,
+                                     nvq_canonical as _nvq)
 
 
 def _nkq_decode(T: int, W: int) -> int:

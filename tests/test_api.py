@@ -109,6 +109,93 @@ def test_rejected_request_returns_empty(api):
     conn.close()
 
 
+def test_oversized_prefix_rejected_gracefully():
+    """A prefix too long for the cache must reject the one request —
+    not crash the stepper and 503 the server (and must not pay the
+    prefix prefill first)."""
+    from kivi_tpu.serving.engine import Engine
+    from kivi_tpu.serving.prefix_cache import PrefixCache
+
+    eng = Engine(cfg=CFG, qcfg=QCFG, params=PARAMS, max_seq_len=256,
+                 batch_size=1)
+    pc = PrefixCache(eng)
+    bat = ContinuousBatcher(CFG, QCFG, PARAMS, num_slots=2,
+                            max_seq_len=256, prompt_buckets=(32,),
+                            prefix_cache=pc)
+    with ServingAPI(bat) as srv:
+        conn, resp = _post(srv.port, {"prompt": _prompt(20, 8),
+                                      "max_new_tokens": 4,
+                                      "prefix": _prompt(21, 500)})
+        assert json.loads(resp.read())["tokens"] == []
+        conn.close()
+        assert pc.misses == 0          # prefill never ran
+        # server still healthy and serving
+        conn, resp = _post(srv.port, {"prompt": _prompt(22, 8),
+                                      "max_new_tokens": 3})
+        assert len(json.loads(resp.read())["tokens"]) == 3
+        conn.close()
+
+
+def test_stream_disconnect_cancels_request():
+    """Closing the SSE socket mid-stream frees the slot (the request
+    stops decoding) and the server keeps serving."""
+    import time
+
+    bat = _batcher()
+    with ServingAPI(bat) as srv:
+        conn, resp = _post(srv.port, {"prompt": _prompt(23),
+                                      "max_new_tokens": 240,
+                                      "stream": True})
+        resp.fp.readline()             # first SSE event is flowing
+        resp.close()                   # client goes away mid-stream
+        conn.close()
+        for _ in range(200):           # poll until the cancel lands
+            if not bat.active.any():
+                break
+            time.sleep(0.05)
+        assert not bat.active.any()
+        conn, resp = _post(srv.port, {"prompt": _prompt(24),
+                                      "max_new_tokens": 3})
+        assert len(json.loads(resp.read())["tokens"]) == 3
+        conn.close()
+        assert bat.results == {} and srv._results == {}  # pruned
+
+
+def test_bad_field_types_get_400():
+    with ServingAPI(_batcher()) as srv:
+        for payload in ({"prompt": [1], "max_new_tokens": 2,
+                         "temperature": "hot"},
+                        {"prompt": 5, "max_new_tokens": 2},
+                        {"prompt": [1], "max_new_tokens": 2,
+                         "eos_token_id": "stop"}):
+            conn, resp = _post(srv.port, payload)
+            assert resp.status == 400, payload
+            conn.close()
+
+
+def test_close_unblocks_inflight_waiters():
+    import threading as th
+
+    bat = _batcher()
+    srv = ServingAPI(bat).start()
+    got = {}
+
+    def go():
+        conn, resp = _post(srv.port, {"prompt": _prompt(25),
+                                      "max_new_tokens": 230})
+        got["body"] = json.loads(resp.read())
+        conn.close()
+
+    t = th.Thread(target=go)
+    t.start()
+    import time
+    time.sleep(2.0)                    # request is mid-decode
+    srv.close()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert "tokens" in got["body"]     # returned (partial/empty), no hang
+
+
 def test_step_exception_fails_pending_and_503s():
     """A step() exception must fail in-flight requests (empty tokens)
     and flip the server to 503 + error health — never hang clients."""

@@ -283,3 +283,29 @@ def test_batcher_shared_prefix_2bit_and_rejection():
         jnp.asarray([p_ok], jnp.int32), 8, prefix=snap,
         repetition_penalty=1.5)[0])]
     assert results[0].tokens == want
+
+
+def test_cancel_queued_and_active():
+    """cancel() drops a queued request outright and frees a mid-decode
+    slot (partial tokens recorded); remaining traffic is unaffected."""
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    bat = ContinuousBatcher(CFG, QCFG, params, num_slots=1,
+                            max_seq_len=MAX, prompt_buckets=(32,))
+    rng = np.random.RandomState(0)
+    p = lambda n=10: list(rng.randint(1, CFG.vocab_size, n))
+    bat.submit(Request(uid=0, prompt=p(), max_new_tokens=50))
+    bat.submit(Request(uid=1, prompt=p(), max_new_tokens=6))  # queued
+    bat.step()
+    bat.step()
+    assert bat.active[0] and len(bat.slot_out[0]) >= 2
+    assert bat.cancel(1)               # still queued: dropped
+    assert bat.results[1].tokens == []
+    n_partial = len(bat.slot_out[0])
+    assert bat.cancel(0)               # mid-decode: slot freed
+    assert not bat.active.any()
+    assert len(bat.results[0].tokens) == n_partial
+    assert not bat.cancel(99)          # unknown uid
+    # the freed slot serves new traffic
+    res = bat.run([Request(uid=2, prompt=p(), max_new_tokens=4)])
+    assert len(res[2].tokens) == 4

@@ -250,6 +250,20 @@ class SpeculativeEngine:
 
     # -- generation loop ----------------------------------------------------
 
+    def generate_stream(self, tokens: jax.Array, max_new_tokens: int,
+                        eos_token_id: Optional[int] = None, *,
+                        temperature: float = 0.0, top_k: int = 0,
+                        top_p: float = 1.0,
+                        rng: Optional[jax.Array] = None):
+        """Streaming twin of generate(): yields 1-D np.int32 blocks —
+        the first token alone (time-to-first-token), then each
+        iteration's accepted+corrected tokens as they are verified.
+        Concatenated blocks equal generate()'s output exactly (same
+        loop, same rng discipline)."""
+        yield from self._run(tokens, max_new_tokens, eos_token_id,
+                             temperature=temperature, top_k=top_k,
+                             top_p=top_p, rng=rng)
+
     def generate(self, tokens: jax.Array, max_new_tokens: int,
                  eos_token_id: Optional[int] = None, *,
                  temperature: float = 0.0, top_k: int = 0,
@@ -267,6 +281,16 @@ class SpeculativeEngine:
         choices are spent differently by construction).  Repetition
         penalty is not supported speculatively.  Records per-iteration
         acceptance counts in self.last_acceptance."""
+        blocks = list(self._run(tokens, max_new_tokens, eos_token_id,
+                                temperature=temperature, top_k=top_k,
+                                top_p=top_p, rng=rng))
+        return np.concatenate(blocks)[None, :].astype(np.int32)
+
+    def _run(self, tokens, max_new_tokens, eos_token_id, *, temperature,
+             top_k, top_p, rng):
+        """The speculative loop as a generator: yields 1-D np.int32
+        blocks (first token, then each iteration's accepted tokens),
+        trimmed to max_new_tokens and cut after the first EOS."""
         from kivi_tpu.serving import sampling
 
         tgt, drf, k = self.target, self.draft, self.k
@@ -293,11 +317,12 @@ class SpeculativeEngine:
         else:
             cur = int(jnp.argmax(t_logits, -1)[0])
 
-        out = [cur]
+        count, last = 1, cur
+        yield np.asarray([cur], np.int32)       # time-to-first-token
         N = Tp                       # committed tokens in BOTH caches
         self.last_acceptance = []
-        while len(out) < max_new_tokens and (eos_token_id is None
-                                             or out[-1] != eos_token_id):
+        while count < max_new_tokens and (eos_token_id is None
+                                          or last != eos_token_id):
             cur_dev = jnp.asarray([[cur]], jnp.int32)
             pos = jnp.full((1, 1), N, jnp.int32)
             d_old, t_old = d_caches, t_caches
@@ -355,10 +380,13 @@ class SpeculativeEngine:
                                     N, N + j + 1, d2, via_decode=True)
             N += j + 1
             cur = emitted[-1]
-            out.extend(emitted)
-            if eos_token_id is not None and eos_token_id in emitted:
-                break
-        del out[max_new_tokens:]
-        if eos_token_id is not None and eos_token_id in out:
-            del out[out.index(eos_token_id) + 1:]
-        return np.asarray([out], np.int32)
+            # trim the visible block: max_new_tokens cap, cut past EOS
+            block = emitted[:max_new_tokens - count]
+            if eos_token_id is not None and eos_token_id in block:
+                block = block[:block.index(eos_token_id) + 1]
+            count += len(block)
+            last = block[-1] if block else last
+            if block:
+                yield np.asarray(block, np.int32)
+            if eos_token_id is not None and eos_token_id in block:
+                return

@@ -100,6 +100,27 @@ def test_eos_early_exit():
     np.testing.assert_array_equal(got, want)
 
 
+def test_generate_stream_matches_generate():
+    """Streaming blocks concatenate to exactly generate()'s output; the
+    first yield is the single first token; EOS cuts mid-block."""
+    tgt = _eng(seed=0)
+    drf = _eng(cfg=SMALL, seed=3)
+    spec = SpeculativeEngine(tgt, drf, k=4)
+    toks = _prompt(8)
+    want = spec.generate(toks, 21)
+    blocks = list(SpeculativeEngine(_eng(seed=0), _eng(cfg=SMALL, seed=3),
+                                    k=4).generate_stream(toks, 21))
+    assert blocks[0].shape == (1,)
+    np.testing.assert_array_equal(np.concatenate(blocks), want[0])
+    # EOS: stream output equals generate with the same eos
+    eos = int(want[0, 7])
+    w2 = spec.generate(toks, 21, eos_token_id=eos)
+    b2 = list(SpeculativeEngine(_eng(seed=0), _eng(cfg=SMALL, seed=3),
+                                k=4).generate_stream(toks, 21,
+                                                     eos_token_id=eos))
+    np.testing.assert_array_equal(np.concatenate(b2), w2[0])
+
+
 def test_spec_accept_marginal_matches_target():
     """The Leviathan theorem: the first emitted token's marginal equals
     the target distribution p exactly, for ANY proposal q.  Checked

@@ -59,7 +59,8 @@ def _block_attn(q, k, v, qpos, kpos, pad_len, sliding_window, scale):
 
 
 def ring_attention(q, k, v, mesh: Mesh, *, axis: str = DATA_AXIS,
-                   sliding_window=None, pad_len=None, positions=None):
+                   sliding_window=None, pad_len=None, positions=None,
+                   score_chunk=None):
     """Causal self-attention with the TOKEN axis sharded over `axis`.
 
     q: (B, Hq, T, D), k/v: (B, Hkv, T, D) — global views whose T axis is
@@ -83,6 +84,12 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = DATA_AXIS,
     """
     n = mesh.shape[axis]
     B, Hq, T, D = q.shape
+    # score_chunk bounds the materialized logits: each ring step scores
+    # q (Tl) against K in chunks of <= score_chunk (largest divisor of
+    # Tl), so peak f32 score memory is B*Hq*Tl*score_chunk instead of
+    # B*Hq*Tl*Tl — at 32K over 8 chips the unchunked block would be
+    # ~2 GB/layer/step.  The online recurrence composes across chunks
+    # exactly as it does across blocks.  Default 1024.
     Hkv = k.shape[1]
     r = Hq // Hkv
     scale = 1.0 / (D ** 0.5)
@@ -102,17 +109,31 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis: str = DATA_AXIS,
                               (axis,), to="varying")
         perm = [(i, (i + 1) % n) for i in range(n)]
 
+        req = score_chunk if score_chunk else 1024
+        C = next(c for c in range(min(req, Tl), 0, -1) if Tl % c == 0)
+        n_chunks = Tl // C
+
         def step(t, carry):
             acc, m_run, l_run, kb, vb, kpos = carry
 
-            def live(_):
+            def one_chunk(c, carry3):
+                acc2, m2, l2 = carry3
+                kc = jax.lax.dynamic_slice_in_dim(kb, c * C, C, axis=2)
+                vc = jax.lax.dynamic_slice_in_dim(vb, c * C, C, axis=2)
+                pc = jax.lax.dynamic_slice_in_dim(kpos, c * C, C, axis=0)
                 u_sum, m_loc, pv = _block_attn(
-                    qg, kb, vb, qpos, kpos, pad, sliding_window, scale)
-                m_new = jnp.maximum(m_run, m_loc)
-                a = jnp.exp(m_run - m_new)   # rescale old accumulator
-                b = jnp.exp(m_loc - m_new)   # rescale this block
-                return (acc * a[..., None] + pv * b[..., None],
-                        m_new, l_run * a + u_sum * b)
+                    qg, kc, vc, qpos, pc, pad, sliding_window, scale)
+                m_new = jnp.maximum(m2, m_loc)
+                a = jnp.exp(m2 - m_new)      # rescale old accumulator
+                b = jnp.exp(m_loc - m_new)   # rescale this chunk
+                return (acc2 * a[..., None] + pv * b[..., None],
+                        m_new, l2 * a + u_sum * b)
+
+            def live(_):
+                if n_chunks == 1:
+                    return one_chunk(0, (acc, m_run, l_run))
+                return jax.lax.fori_loop(0, n_chunks, one_chunk,
+                                         (acc, m_run, l_run))
 
             # dead when every key in this block is past my newest
             # query, or (sliding window) before every query's window

@@ -96,6 +96,26 @@ def test_ring_bf16_inputs():
         rtol=3e-2, atol=3e-2)
 
 
+def test_ring_score_chunking_matches_oracle():
+    """score_chunk smaller than the block: the online recurrence must
+    compose across chunks exactly as across blocks (bounded-logit-
+    memory path for 32K prompts)."""
+    mesh = _mesh()
+    q, k, v = _rand(2, 4, 2, 64, 16, seed=7)
+    want = np.asarray(_oracle(q, k, v))
+    for chunk in (1, 3, 4):   # 3 does not divide Tl=8 -> falls to 2
+        got = ring_attention(q, k, v, mesh, score_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=2e-5, atol=2e-5, err_msg=chunk)
+    got = ring_attention(q, k, v, mesh, score_chunk=4, sliding_window=24,
+                         pad_len=jnp.asarray([0, 6], jnp.int32))
+    want = np.asarray(_oracle(q, k, v, sliding_window=24,
+                              pad_len=jnp.asarray([0, 6], jnp.int32)))
+    for b, p in enumerate((0, 6)):
+        np.testing.assert_allclose(np.asarray(got)[b, :, p:],
+                                   want[b, :, p:], rtol=2e-5, atol=2e-5)
+
+
 def test_ring_zigzag_matches_oracle():
     """Striped layout: inputs permuted by zigzag_perm, positions passed
     explicitly — un-permuted output must equal the contiguous oracle

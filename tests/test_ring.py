@@ -150,6 +150,21 @@ def test_ring_zigzag_sliding_window_and_pad():
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_ring_zigzag_with_score_chunking():
+    """Striped layout + chunked scores together (the 32K operating
+    point): per-chunk position slices must ride the permuted layout."""
+    from kivi_tpu.parallel.ring import zigzag_perm
+
+    mesh = _mesh()
+    q, k, v = _rand(1, 2, 2, 64, 16, seed=8)
+    perm, inv = zigzag_perm(64, 8)
+    got_z = ring_attention(q[:, :, perm], k[:, :, perm], v[:, :, perm],
+                           mesh, positions=perm, score_chunk=2)
+    got = np.asarray(got_z)[:, :, inv]
+    np.testing.assert_allclose(got, np.asarray(_oracle(q, k, v)),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_zigzag_perm_properties():
     from kivi_tpu.parallel.ring import zigzag_perm
 

@@ -34,6 +34,10 @@ def main():
     ap = argparse.ArgumentParser()
     from kivi_tpu.cli import add_quant_flags
     add_quant_flags(ap)
+    # v_flush=128 admits the head-folded wide decode kernel — without
+    # it the timed numbers measure the ~2x-slower per-head path
+    # (CLAUDE.md perf rule; mem_spd.py sets the same default)
+    ap.set_defaults(v_flush=128)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--layers", type=int, default=4)

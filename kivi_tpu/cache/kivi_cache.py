@@ -432,13 +432,18 @@ def decode_append_masked(cache: KiviLayerCache, k_new, v_new,
     )
 
     # ---- append: inactive rows' writes land at the (frozen) counters,
-    # beyond the valid count, hence invisible to attention ----
+    # beyond the valid count, hence invisible to attention.  The
+    # CONTENT must still be masked (_masked_store_write): an inactive
+    # row can legitimately sit at n_win == W (its flush is act-gated),
+    # where dynamic_update_slice clamps the start to W-1 — an
+    # unconditional write there overwrites the last REAL window token
+    # and the next flush quantizes the corruption permanently. ----
     return dataclasses.replace(
         cache,
-        k_win=jax.lax.dynamic_update_slice(
-            cache.k_win, k_new.astype(dtype), (0, 0, cache.n_k_win, 0)),
-        v_win=jax.lax.dynamic_update_slice(
-            cache.v_win, v_new.astype(dtype), (0, 0, cache.n_v_win, 0)),
+        k_win=_masked_store_write(cache.k_win, k_new.astype(dtype),
+                                  (0, 0, cache.n_k_win, 0), act),
+        v_win=_masked_store_write(cache.v_win, v_new.astype(dtype),
+                                  (0, 0, cache.n_v_win, 0), act),
         n_k_win=cache.n_k_win + act.astype(jnp.int32),
         n_v_win=cache.n_v_win + act.astype(jnp.int32),
     )

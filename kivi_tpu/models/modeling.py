@@ -112,8 +112,8 @@ def swiglu_mlp(x: jax.Array, wg, wu, wd) -> jax.Array:
 def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                      qcfg: QuantConfig, positions, *, mode: str,
                      impl: str, flush: bool = True, pad_len=None,
-                     active=None, prev_len: int = 0, seq_mesh=None
-                     ) -> Tuple[jax.Array, LayerCache]:
+                     active=None, prev_len: int = 0, seq_mesh=None,
+                     prev_pos=None) -> Tuple[jax.Array, LayerCache]:
     """mode: 'prefill' (T tokens, cache must be empty), 'decode' (T==1),
     or 'extend' (T suffix tokens onto a cache holding prev_len — STATIC —
     tokens: chunked prefill / prefix caching).
@@ -189,6 +189,16 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
         # raggedness (pads between prefix and suffix) stays
         # unrepresentable.
         assert active is None
+        if pad_len is not None and prev_pos is not None:
+            # same rule as prefill: pad slots' K/V are zeroed so the K
+            # quantization groups straddling the pad boundary see 0s
+            # (the chunk's token i sits at cache position prev_pos + i)
+            cpos = prev_pos + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, T, 1), 2)
+            live = cpos >= jnp.asarray(pad_len, jnp.int32).reshape(
+                B, 1, 1, 1)
+            k = jnp.where(live, k, 0)
+            v = jnp.where(live, v, 0)
         if isinstance(cache, FpLayerCache):
             out = fp_extend_attention(q, k, v, cache,
                                       sliding_window=cfg.sliding_window,
@@ -225,11 +235,12 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
 
 def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl,
                    flush=True, pad_len=None, active=None, prev_len=0,
-                   seq_mesh=None):
+                   seq_mesh=None, prev_pos=None):
     h, cache = _attention_block(
         rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps), lp, cache, cfg, qcfg,
         positions, mode=mode, impl=impl, flush=flush, pad_len=pad_len,
-        active=active, prev_len=prev_len, seq_mesh=seq_mesh)
+        active=active, prev_len=prev_len, seq_mesh=seq_mesh,
+        prev_pos=prev_pos)
     x = x + h
     x = x + swiglu_mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps),
                        lp["wg"], lp["wu"], lp["wd"])
@@ -248,7 +259,8 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             pad_len: Optional[jax.Array] = None,
             active: Optional[jax.Array] = None,
             prev_len: int = 0, seq_mesh=None,
-            last_index: Optional[int] = None) -> Tuple[jax.Array, Any]:
+            last_index: Optional[int] = None,
+            prev_pos=None) -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 ROPE positions (for
     left-padded rows: cache index minus pad_len, clamped at 0).
 
@@ -282,7 +294,8 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
                                       positions, mode=mode, impl=impl,
                                       flush=flush, pad_len=pad_len,
                                       active=active, prev_len=prev_len,
-                                      seq_mesh=seq_mesh)
+                                      seq_mesh=seq_mesh,
+                                      prev_pos=prev_pos)
     if last_only:
         # last_index: STATIC slot of the sequence's true last token —
         # under a striped (permuted) layout it is not slot T-1

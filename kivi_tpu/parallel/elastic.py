@@ -239,10 +239,10 @@ class ElasticBatcher:
             self.cfg, self.qcfg, params, num_slots=self.num_slots,
             max_seq_len=self.T, **self.kw)
         if old is not None:
-            # finished results carry over; unfinished requests resume
-            self.batcher.results.update(
-                {u: r for u, r in old.results.items()
-                 if u not in self._unfinished(old)})
+            # every uid in old.results is by definition finished (or
+            # rejected), so ALL of them carry over; unfinished requests
+            # are resubmitted by the recovery path
+            self.batcher.results.update(old.results)
         del old
         jax.block_until_ready(self.batcher.cur_tok)
 

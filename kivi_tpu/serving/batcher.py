@@ -213,7 +213,7 @@ class ContinuousBatcher:
             logits, cache = modeling.forward(
                 params, chunk, cache, cfg, qcfg, positions,
                 mode="extend", impl=impl, last_only=True,
-                prev_len=prev_len, pad_len=pad)
+                prev_len=prev_len, pad_len=pad, prev_pos=pos0)
             return logits[:, -1, :], cache
 
         return fn
@@ -374,10 +374,14 @@ class ContinuousBatcher:
                  else self.prefix.length if self.prefix is not None
                  else 0)
             # cache usage is P + bucket + max_new (pad slots occupy
-            # cache positions), so admission checks the BUCKETED length
+            # cache positions), so admission checks the BUCKETED length.
+            # Empty prompts are rejected in every mode (the first token
+            # samples from prefill logits, which need >= 1 real token;
+            # the chunked path used to crash on them).
             bucket = ((len(req.prompt) or None) if has_prefix
                       else self._bucket_for(len(req.prompt)))
-            if bucket is None or P + bucket + req.max_new_tokens > self.T:
+            if (not req.prompt or bucket is None
+                    or P + bucket + req.max_new_tokens > self.T):
                 self.queue.popleft()
                 self.results[req.uid] = Result(req.uid, [])  # rejected
                 continue

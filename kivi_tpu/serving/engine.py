@@ -250,7 +250,8 @@ class Engine:
             positions = jnp.maximum(positions - pad[:, None], 0)
         logits, caches = modeling.forward(
             params, tokens, caches, cfg, qcfg, positions, mode="extend",
-            impl=impl, last_only=True, prev_len=prev_len, pad_len=pad)
+            impl=impl, last_only=True, prev_len=prev_len, pad_len=pad,
+            prev_pos=pos0)
         return logits[:, -1, :], caches
 
     @staticmethod

@@ -309,3 +309,45 @@ def test_cancel_queued_and_active():
     # the freed slot serves new traffic
     res = bat.run([Request(uid=2, prompt=p(), max_new_tokens=4)])
     assert len(res[2].tokens) == 4
+
+
+def test_prefix_admission_at_window_boundary_matches_engine():
+    """(prefix + prompt) a multiple of W: the admit tail-scan's MASKED
+    steps run with a FULL window (n_win == W, flush act-gated), where an
+    unconditionally-written append clamps onto slot W-1 and corrupts
+    the last real token (caught by review; fixed in
+    kivi_cache.decode_append_masked).  Token equality with the engine
+    is the invariant."""
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    W = QCFG.residual_length                       # 32
+    pfx = list(rng.randint(1, CFG.vocab_size, 40))
+    eng = Engine(cfg=CFG, qcfg=QCFG, params=params, max_seq_len=MAX,
+                 batch_size=1)
+    eng.cache_dtype = jnp.bfloat16
+    snap = eng.prefill_prefix(jnp.asarray(pfx, jnp.int32))
+    for n in (24, 23):          # 40+24 = 2W (boundary), 63 (control)
+        prompt = list(rng.randint(1, CFG.vocab_size, n))
+        bat = ContinuousBatcher(CFG, QCFG, params, num_slots=1,
+                                max_seq_len=MAX, prefix=snap)
+        got = bat.run([Request(uid=0, prompt=prompt,
+                               max_new_tokens=10)])[0].tokens
+        want = [int(t) for t in np.asarray(eng.generate(
+            jnp.asarray([prompt], jnp.int32), 10, prefix=snap)[0])]
+        assert got == want, (n, got, want)
+
+
+def test_empty_prompt_rejected_every_mode():
+    """An empty prompt is rejected with an empty Result in bucketed,
+    chunked and prefix modes alike (the chunked path used to crash
+    step() with logits=None)."""
+    params = modeling.init_params(CFG, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+    for kw in ({}, {"prefill_chunk": 32}):
+        bat = ContinuousBatcher(CFG, QCFG, params, num_slots=1,
+                                max_seq_len=MAX, **kw)
+        res = bat.run([Request(uid=0, prompt=[], max_new_tokens=4),
+                       Request(uid=1, prompt=[5, 6, 7],
+                               max_new_tokens=4)])
+        assert res[0].tokens == [] and len(res[1].tokens) == 4, kw

@@ -498,3 +498,49 @@ def test_broadcast_rows_counters_are_fresh_buffers():
                                   np.asarray(cache.k_win[0]))
     np.testing.assert_array_equal(np.asarray(out.k_win[3]),
                                   np.asarray(cache.k_win[0]))
+
+
+def test_extend_zeroes_pad_kv_like_prefill():
+    """Ragged chunked prefill: the extend path must zero pad slots' K/V
+    exactly as one-shot prefill does (K quant groups straddling the pad
+    boundary must see 0s, not garbage activations).  With a single
+    chunk covering the whole prompt, extend-from-empty and one-shot
+    prefill ingest identical K/V, so LAYER 0's cache must match
+    bitwise (without the zeroing, its pad slots hold garbage
+    activations); deeper layers only to fp32 tolerance — their inputs
+    ride layer-0 attention, whose prefill/extend implementations reduce
+    in different orders."""
+    import dataclasses as dc
+
+    from kivi_tpu.config import tiny_config
+
+    cfg = tiny_config()
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=32)
+    params = modeling.init_params(cfg, jax.random.PRNGKey(0),
+                                  dtype=jnp.float32)
+
+    def eng():
+        e = Engine(cfg=cfg, qcfg=qcfg, params=params, max_seq_len=256,
+                   batch_size=2)
+        e.cache_dtype = jnp.float32
+        return e
+
+    toks = jax.random.randint(jax.random.PRNGKey(5), (2, 64), 1,
+                              cfg.vocab_size, jnp.int32)
+    pads = [5, 0]                    # 5 is NOT a multiple of group_size
+    e1, e2 = eng(), eng()
+    _, c_one = e1._prefill(params, toks, e1.init_caches(),
+                           jnp.asarray(pads, jnp.int32))
+    _, c_chk = e2.prefill_chunked(toks, chunk_size=64, pad_lens=pads)
+    for i, (a, b) in enumerate(zip(c_one, c_chk)):
+        for f in dc.fields(a):
+            av, bv = np.asarray(getattr(a, f.name)), \
+                np.asarray(getattr(b, f.name))
+            if i == 0:
+                np.testing.assert_array_equal(
+                    av, bv, err_msg=f"layer {i} {f.name}")
+            elif np.issubdtype(av.dtype, np.floating):
+                np.testing.assert_allclose(
+                    av, bv, rtol=2e-3, atol=2e-3,
+                    err_msg=f"layer {i} {f.name}")

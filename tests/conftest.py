@@ -9,7 +9,10 @@ JAX_PLATFORMS=axon, so env vars alone are too late — we must flip the
 platform through jax.config before any backend is initialized.
 """
 
+import gc
 import os
+
+import pytest
 
 if not os.environ.get("KIVI_TPU_REAL"):
     flags = os.environ.get("XLA_FLAGS", "")
@@ -20,3 +23,20 @@ if not os.environ.get("KIVI_TPU_REAL"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    The full suite JIT-compiles thousands of programs in one process;
+    letting them all accumulate has produced segfaults inside XLA's
+    CPU compiler late in the run (LLVM JIT code-memory exhaustion).
+    Per-module clearing caps the live-executable count at one module's
+    worth; cross-module compile reuse was negligible anyway (modules
+    use distinct shapes/configs)."""
+    yield
+    import jax
+
+    gc.collect()
+    jax.clear_caches()

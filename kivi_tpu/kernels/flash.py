@@ -49,8 +49,17 @@ def _flash_kernel(pad_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
     q_start = iq * blk_q
     k_start = ik * blk_k
 
-    # Block-level pruning: skip fully-masked tiles.
+    # Block-level pruning: skip fully-masked tiles.  Mirrors the KV
+    # index-map clamps in flash_attention below — every step the clamp
+    # marks dead is excluded here, so clamped (stale) fetches are never
+    # read.  Fully-padded q blocks (whole block left of the pad) and
+    # tail-pad q blocks (past t_actual) skip ALL their k steps: the
+    # varlen analogue of the reference's `_upad_input`
+    # (`models/llama_kivi.py:525`) without any gather/scatter repack.
     live = k_start + blk_k > lo
+    live = jnp.logical_and(live, q_start + blk_q > lo)
+    live = jnp.logical_and(live, q_start < t_actual)
+    live = jnp.logical_and(live, k_start < t_actual)
     if causal:
         live = jnp.logical_and(live, k_start <= q_start + blk_q - 1)
     if sliding_window is not None:
@@ -132,8 +141,28 @@ def flash_attention(q, k, v, *, causal: bool = True, sliding_window=None,
     kf = k.astype(jnp.bfloat16).reshape(B * Hkv, Tp, D)
     vf = v.astype(jnp.bfloat16).reshape(B * Hkv, Tp, D)
 
+    nkb = Tp // blk_k
+
     def kv_index(bh, iq, ik, pad):
-        return (bh // Hq) * Hkv + (bh % Hq) // r, ik, 0
+        # Dead KV tiles clamp onto the nearest live tile so consecutive
+        # grid steps repeat the same block index and Pallas revisit-
+        # elision skips the fetch (same trick as the decode kernels'
+        # chunk4 map).  The kernel's `live` predicate excludes exactly
+        # these steps, so the stale data is never read.  Clamps: causal
+        # tail (k past the block diagonal), valid-length tail
+        # (k >= t_actual), pad front (k fully left of this row's pad),
+        # sliding-window front.
+        b = bh // Hq
+        ikc = ik
+        if causal:
+            ikc = jnp.minimum(ikc, ((iq + 1) * blk_q - 1) // blk_k)
+        ikc = jnp.minimum(ikc, (T - 1) // blk_k)
+        first = pad[b] // blk_k
+        if sliding_window is not None:
+            swa_q = iq * blk_q - sliding_window + 1
+            first = jnp.maximum(first, jnp.maximum(swa_q, 0) // blk_k)
+        ikc = jnp.clip(jnp.maximum(ikc, first), 0, nkb - 1)
+        return b * Hkv + (bh % Hq) // r, ikc, 0
 
     pad = (jnp.zeros((B,), jnp.int32) if pad_len is None
            else jnp.asarray(pad_len, jnp.int32).reshape(B))

@@ -181,7 +181,7 @@ class Engine:
                      pad=None, *, steps: int, temperature: float = 0.0,
                      prompt_len: int = 0, top_k: int = 0,
                      top_p: float = 1.0, repetition_penalty: float = 1.0,
-                     seen=None):
+                     seen=None, forced=None, n_forced=None):
         """_decode_scan_fn with the static prompt_len canonicalized: the
         flush schedule depends only on prompt_len mod lcm(W, v_flush)
         (plus the prompt_len <= W edge), so resuming decode at a later
@@ -189,7 +189,8 @@ class Engine:
         recompiling per call site."""
         prompt_len = self._canonical_phase(prompt_len)
         return self._decode_scan_jit(params, first_token, first_pos,
-                                     caches, rng, pad, seen, steps=steps,
+                                     caches, rng, pad, seen,
+                                     forced, n_forced, steps=steps,
                                      temperature=temperature,
                                      prompt_len=prompt_len, top_k=top_k,
                                      top_p=top_p,
@@ -286,7 +287,8 @@ class Engine:
 
     @staticmethod
     def _decode_scan_fn(params, first_token, first_pos, caches, rng,
-                        pad=None, seen=None, *, cfg, qcfg, impl, steps: int,
+                        pad=None, seen=None, forced=None, n_forced=None,
+                        *, cfg, qcfg, impl, steps: int,
                         temperature: float = 0.0, prompt_len: int = 0,
                         top_k: int = 0, top_p: float = 1.0,
                         repetition_penalty: float = 1.0):
@@ -300,6 +302,16 @@ class Engine:
 
         seen: (B, V) bool token-id mask of the prompt (None disables the
         repetition penalty) — HF penalizes the FULL sequence so far.
+
+        forced/n_forced: teacher-forcing for ragged prefix suffixes —
+        forced (B, >= steps+1) i32, n_forced (B,) i32: row b FEEDS
+        forced[b, j] at scan step j while j < n_forced[b] and its own
+        sample after (the emitted stream is always the SAMPLED
+        candidate, realigned per row by generate()).  Rows in teacher
+        mode still append to the cache every step, so counters stay
+        uniform across the batch and the scan stays one compilation.
+        Teacher tokens enter the repetition-penalty seen-mask exactly
+        like consumed prompt tokens (HF ordering).
         """
         from kivi_tpu.serving import sampling
 
@@ -307,6 +319,7 @@ class Engine:
         use_pen = repetition_penalty != 1.0 and seen is not None
         if not use_pen:
             seen = None
+        teach = forced is not None
 
         def body(carry, _):
             token, pos, caches, rng, seen = carry
@@ -325,8 +338,16 @@ class Engine:
                 sub = rng   # unused by greedy sample_step
             nxt = sampling.sample_step(logits, sub, temperature=temperature,
                                        top_k=top_k, top_p=top_p)
-            nxt = nxt[:, None]
-            return (nxt, pos + 1, caches, rng, seen), nxt[:, 0]
+            fed = nxt
+            if teach:
+                # scan step index from the (uniform — teacher mode
+                # forbids pads) position counter; feed forced[:, j+1]
+                # while the row still has prompt tokens left
+                j = pos[0, 0] - first_pos[0, 0]
+                ft = jax.lax.dynamic_slice_in_dim(forced, j + 1, 1,
+                                                  axis=1)[:, 0]
+                fed = jnp.where(j + 1 < n_forced, ft, nxt)
+            return (fed[:, None], pos + 1, caches, rng, seen), nxt
 
         carry = (first_token, first_pos, caches, rng, seen)
         if not static_flush:
@@ -613,7 +634,8 @@ class Engine:
                  top_k: int = 0, top_p: float = 1.0,
                  repetition_penalty: float = 1.0,
                  prefix: Optional[PrefixSnapshot] = None,
-                 prefill_chunk_size: Optional[int] = None) -> jax.Array:
+                 prefill_chunk_size: Optional[int] = None,
+                 suffix_lens=None) -> jax.Array:
         """Greedy/sampled generation.  tokens (B, T) -> (B, max_new_tokens).
 
         The whole decode loop runs device-side; EOS handling pads after
@@ -625,32 +647,64 @@ class Engine:
         Sampling controls follow HF semantics (see serving/sampling.py).
 
         prefix: a `prefill_prefix` snapshot of a SHARED prompt prefix —
-        tokens are then each request's suffix only (equal length,
-        unpadded: pads can't sit at the row front once a real prefix
-        precedes them).  The snapshot is broadcast across the batch and
-        only the suffix is prefilled.  Suffix tokens attend the
-        QUANTIZED prefix (a one-shot prefill would see it exact) —
-        same accuracy class as any post-window token at decode.
+        tokens are then each request's suffix only (equal length unless
+        suffix_lens= is given; pads can't sit at the row front once a
+        real prefix precedes them).  The snapshot is broadcast across
+        the batch and only the suffix is prefilled.  Suffix tokens
+        attend the QUANTIZED prefix (a one-shot prefill would see it
+        exact) — same accuracy class as any post-window token at decode.
 
         prefill_chunk_size: prefill through `prefill_chunked` (callers
         should pad T to a multiple of it so every prompt length shares
         the same two compilations; KIVI-approximate past the first
         chunk).  Mutually exclusive with prefix.
+
+        suffix_lens: (B,) host ints — RAGGED per-request suffix lengths
+        with a shared prefix (row b's suffix is tokens[b, :suffix_lens
+        [b]], right-padded to the array width).  The engine extends the
+        prefix with the common min(suffix_lens) tokens, then TEACHER-
+        FORCES each row's remaining tail inside the decode scan (cache
+        counters stay uniform; one compilation covers every raggedness
+        pattern at a given (min, max) pair), realigning the sampled
+        stream per row afterwards.  Same accuracy class as chunked
+        prefill: tail tokens attend decode-canonical cache state where
+        a one-shot suffix extend would see exact fp — inherent to any
+        split, not a bug (the batcher's per-slot tail path makes the
+        identical tradeoff).  Requires prefix=, no pad_lens.
         """
         (first, caches, pos, pad, seen, rng, Tp,
-         n_real) = self._ingest_prompt(
+         n_real, ragged) = self._ingest_prompt(
             tokens, max_new_tokens, pad_lens=pad_lens, prefix=prefix,
             prefill_chunk_size=prefill_chunk_size,
             repetition_penalty=repetition_penalty,
-            temperature=temperature, top_k=top_k, top_p=top_p, rng=rng)
-        if max_new_tokens == 1:
-            return first[:n_real]
-        rest, caches = self._decode_scan(
-            self.params, first, pos, caches, rng, pad,
-            steps=max_new_tokens - 1, temperature=temperature,
-            prompt_len=Tp, top_k=top_k, top_p=top_p,
-            repetition_penalty=repetition_penalty, seen=seen)
-        out = jnp.concatenate([first, rest], axis=1)[:n_real]
+            temperature=temperature, top_k=top_k, top_p=top_p, rng=rng,
+            suffix_lens=suffix_lens)
+        if ragged is None:
+            if max_new_tokens == 1:
+                return first[:n_real]
+            rest, caches = self._decode_scan(
+                self.params, first, pos, caches, rng, pad,
+                steps=max_new_tokens - 1, temperature=temperature,
+                prompt_len=Tp, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty, seen=seen)
+            out = jnp.concatenate([first, rest], axis=1)[:n_real]
+        else:
+            cand0, forced_tail, n_tail, L = ragged
+            B = self.batch_size
+            steps = L + max_new_tokens - 1      # L >= 1 when ragged
+            fpad = jnp.zeros((B, steps + 2 - forced_tail.shape[1]),
+                             jnp.int32)
+            rest, caches = self._decode_scan(
+                self.params, first, pos, caches, rng, None,
+                steps=steps, temperature=temperature,
+                prompt_len=Tp - L, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty, seen=seen,
+                forced=jnp.concatenate([forced_tail, fpad], axis=1),
+                n_forced=n_tail)
+            stream = jnp.concatenate([cand0, rest], axis=1)
+            idx = n_tail[:, None] + jnp.arange(max_new_tokens,
+                                               dtype=jnp.int32)[None, :]
+            out = jnp.take_along_axis(stream, idx, axis=1)[:n_real]
         if eos_token_id is not None:
             seen = jnp.cumsum((out == eos_token_id).astype(jnp.int32), axis=1)
             keep = (seen - (out == eos_token_id)) == 0  # tokens before eos
@@ -659,19 +713,28 @@ class Engine:
 
     def _ingest_prompt(self, tokens, max_new_tokens, *, pad_lens, prefix,
                        prefill_chunk_size, repetition_penalty,
-                       temperature, top_k, top_p, rng):
+                       temperature, top_k, top_p, rng, suffix_lens=None):
         """generate()'s prompt prologue, shared with generate_stream():
         batch top-up, prompt ingestion (one-shot / chunked / prefix
         extend), penalty seen-mask, and the FIRST sampled token (which
         goes through the same processor chain as the rest — HF applies
         penalty + warpers from token 0; argmax-ing it regardless of
         temperature was a silent HF deviation).  Returns (first (B,1),
-        caches, pos (B,1), pad, seen, rng, Tp, n_real)."""
+        caches, pos (B,1), pad, seen, rng, Tp, n_real, ragged) —
+        `ragged` is None unless suffix_lens demands teacher-forcing, in
+        which case it is (cand0 (B,1), forced_tail (B,L), n_tail (B,),
+        L) and `first` is the first FED token (teacher where a tail
+        exists, cand0 where not)."""
         from kivi_tpu.cache.kivi_cache import broadcast_rows
         from kivi_tpu.serving import sampling
 
         B, T = tokens.shape
         n_real = B
+        lens = (None if suffix_lens is None
+                else [int(x) for x in suffix_lens])
+        if lens is not None:
+            assert prefix is not None, "suffix_lens requires prefix="
+            assert len(lens) == B and all(1 <= l <= T for l in lens)
         if B < self.batch_size:
             fill = jnp.repeat(tokens[-1:], self.batch_size - B, axis=0)
             tokens = jnp.concatenate([tokens, fill], axis=0)
@@ -680,17 +743,26 @@ class Engine:
                     jnp.asarray(pad_lens, jnp.int32).reshape(B),
                     jnp.repeat(jnp.asarray(pad_lens, jnp.int32)[-1:],
                                self.batch_size - B)])
+            if lens is not None:
+                lens = lens + [lens[-1]] * (self.batch_size - B)
             B = self.batch_size
         assert B == self.batch_size
+        if lens is not None:
+            T = max(lens)                   # drop unused right padding
+            tokens = tokens[:, :T]
+            if min(lens) == T:
+                lens = None                 # equal lengths: normal path
         Tp = T if prefix is None else prefix.length + T  # full prompt len
         assert Tp + max_new_tokens <= self.max_seq_len, "cache too small"
         if prefix is not None:
-            assert pad_lens is None, "prefix + ragged suffixes unsupported"
+            assert pad_lens is None, \
+                "prefix composes with suffix_lens=, not pad_lens="
             assert prefill_chunk_size is None, \
                 "chunked prefill applies to the prefix-less path"
         pad = (None if pad_lens is None
                else jnp.asarray(pad_lens, jnp.int32).reshape(B))
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        Tmin = T if lens is None else min(lens)
         if prefix is None:
             if prefill_chunk_size is not None:
                 logits, caches = self.prefill_chunked(
@@ -702,11 +774,20 @@ class Engine:
             full_tokens = tokens
         else:
             caches = [broadcast_rows(c, B) for c in prefix.caches]
-            logits, caches = self._extend_call(self.params, tokens,
-                                               caches, prefix.length)
+            logits, caches = self._extend_call(
+                self.params, tokens[:, :Tmin], caches, prefix.length)
+            suf = tokens
+            if lens is not None:
+                # padding beyond each row's length must not enter the
+                # penalty seen-mask: duplicate the row's last real token
+                # (its id is already in the sequence)
+                ln = jnp.asarray(lens, jnp.int32)
+                last = jnp.take_along_axis(tokens, ln[:, None] - 1, 1)
+                live = jnp.arange(T, dtype=jnp.int32)[None] < ln[:, None]
+                suf = jnp.where(live, tokens, last)
             full_tokens = jnp.concatenate(
                 [jnp.broadcast_to(prefix.tokens, (B, prefix.length)),
-                 tokens], axis=1)
+                 suf], axis=1)
         seen = None
         if repetition_penalty != 1.0:
             seen = sampling.seen_mask_from_prompt(
@@ -716,11 +797,20 @@ class Engine:
         rng, sub = jax.random.split(rng)
         first = sampling.sample_step(logits, sub, temperature=temperature,
                                      top_k=top_k, top_p=top_p)[:, None]
-        # RoPE position of the first generated token = true length
-        pos = jnp.full((B, 1), Tp, jnp.int32)
+        ragged = None
+        if lens is not None:
+            n_tail = jnp.asarray([l - Tmin for l in lens], jnp.int32)
+            forced_tail = tokens[:, Tmin:]              # (B, L)
+            cand0 = first
+            first = jnp.where(n_tail[:, None] > 0, forced_tail[:, :1],
+                              cand0)
+            ragged = (cand0, forced_tail, n_tail, T - Tmin)
+        # RoPE position of the first fed token = tokens in cache so far
+        pos = jnp.full((B, 1), (prefix.length + Tmin) if prefix is not None
+                       else Tp, jnp.int32)
         if pad is not None:
             pos = pos - pad[:, None]
-        return first, caches, pos, pad, seen, rng, Tp, n_real
+        return first, caches, pos, pad, seen, rng, Tp, n_real, ragged
 
     def generate_stream(self, tokens: jax.Array, max_new_tokens: int,
                         *, segment: int = 16,
@@ -746,11 +836,12 @@ class Engine:
         import numpy as np
 
         (first, caches, pos, pad, seen, rng, Tp,
-         n_real) = self._ingest_prompt(
+         n_real, ragged) = self._ingest_prompt(
             tokens, max_new_tokens, pad_lens=pad_lens, prefix=prefix,
             prefill_chunk_size=prefill_chunk_size,
             repetition_penalty=repetition_penalty,
             temperature=temperature, top_k=top_k, top_p=top_p, rng=rng)
+        assert ragged is None
         B = self.batch_size
         done = np.zeros(n_real, bool)
 

@@ -27,11 +27,18 @@ three TPU-native pieces:
 
 Multi-host caveat, stated honestly: a live JAX backend cannot drop
 processes from its global device set — after a host loss the surviving
-processes must tear down (`jax.distributed.shutdown()`) and re-run
-`multihost.initialize()` with the new process set before calling
-`surviving_mesh`.  Everything below that line (re-shard, resubmit) is
-identical for the single-controller case, which is what the tests
-exercise on a virtual device mesh.
+processes must tear down and re-run `multihost.initialize()` with the
+new process set before calling `surviving_mesh`.  Measured (round 3,
+tests/test_elastic_kill.py): when a peer is SIGKILLed mid-step, the
+survivor's in-flight collective HANGS — on CPU gloo exactly as on TPU
+ICI — so the surviving process cannot unwind the stack or call
+`jax.distributed.shutdown()` from under it.  The only clean teardown is
+a process-image restart: persist the resume state out-of-band
+(`write_resume_state`, kept current BEFORE each step so a hung step
+never blocks it) and `exec_restart()` the survivor, whose fresh runtime
+then re-initializes with the new process set.  `recover()`'s
+replay-resume recipe (prompt + emitted tokens as a longer prompt) is
+what makes the restart token-exact under greedy decoding.
 """
 
 from __future__ import annotations
@@ -188,6 +195,44 @@ class StepWatchdog:
 
     def __exit__(self, *exc):
         self._timer.cancel()
+
+
+def write_resume_state(path: str, state: dict) -> None:
+    """Persist host-side resume state (emitted tokens, prompts, config
+    seeds — plain JSON) atomically.  Called BEFORE each device step: a
+    step that hangs on a lost peer can then never block checkpointing,
+    and the state on disk is exactly what the restarted process must
+    replay."""
+    import json
+    import os
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def read_resume_state(path: str) -> Optional[dict]:
+    import json
+    import os
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def exec_restart(argv: Optional[List[str]] = None) -> None:
+    """Replace this process image with a fresh interpreter run of
+    `argv` (default: sys.argv).  This is the survivor's teardown after
+    a peer loss: the hung runtime (stuck collective, wedged threads)
+    is discarded wholesale, and the fresh process re-initializes JAX
+    with the surviving process set.  Safe to call from a monitor
+    thread — the exec replaces every thread in the image."""
+    import sys
+    args = list(sys.argv if argv is None else argv)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os
+    os.execv(sys.executable, [sys.executable] + args)
 
 
 def surviving_mesh(devices: Sequence, num_kv_heads: int,

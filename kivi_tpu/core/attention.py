@@ -71,7 +71,9 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
     # Llama-3 GQA with the full 8-head fold).  Below an 8-row fold the
     # per-head kernel wins again.  It needs 128-aligned windows AND
     # 128-aligned value flushes; the per-head kernel needs only the
-    # former; the split path serves everything else (jnp oracle, 8-bit).
+    # former and is 2/4-bit only (the wide kernel also runs 8-bit via
+    # plane unpack + centered codes); the split path serves everything
+    # else (jnp oracle, small folds at 8-bit).
     #
     # A Mistral sliding window is ALSO just a per-row lower position
     # bound (position t attends > t - window), so it folds into the
@@ -91,7 +93,8 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
     hg = default_head_fold(Hkv, r, D, Tmax // qcfg.group_size)
     if (impl == "pallas" and hg * r >= 8
             and wide_kernel_supported(Tmax, W, qcfg.value_flush,
-                                      qcfg.k_bits, qcfg.v_bits)):
+                                      qcfg.k_bits, qcfg.v_bits,
+                                      group_size=qcfg.group_size, r=r)):
         from kivi_tpu.kernels.fused_decode_wide import (
             fused_decode_attention_wide)
         out = fused_decode_attention_wide(

@@ -8,18 +8,23 @@ head_fold KV heads into one program:
   * rows = HR = head_fold * r query heads (16 for Llama-2 MHA with the
     default fold, 32 for Llama-3/Mistral GQA) — real sublane
     utilization;
-  * QK runs as ONE (HR, Hg*D) x (Hg*D, C) matmul with a BLOCK-DIAGONAL
-    q (lane-tiled + head-masked) — off-head products are computed and
-    discarded (the MXU rows were idle anyway; every vector op is Hg*r
-    times wider);
+  * QK runs per folded head as a (cg*r, D) x (D, C) matmul whose query
+    rows carry the K scales FOLDED IN: row (rr, g) is
+    q_h[rr] * (F * k_scale[:, g]) — the chunk's cg groups of scale rows
+    slice off a per-superblock TRANSPOSED scale scratch, and the group
+    structure collapses back out of the product by a sublane reduction
+    against a static group mask.  This deletes the group->token scale
+    expansion entirely (a one-hot (Sg, C) dot per j-block in round 2's
+    block-diagonal form — as many full MXU passes as the QK dot itself,
+    0.68 of 1.78 ms measured at 32K; scripts/profile_wide_32k.py);
   * the packed stores unpack for all folded heads at once: the bitcast
     crumb unpack of a (Hg*Dw, C) word tile yields rows in the order
-    rho(j, h, w, half) = j*(2*Hg*Dw) + h*(2*Dw) + 2w + half; K scales
-    apply per-j-block via static slices of the NATURAL scale layout;
-    V scales apply on the PROBABILITY rows (see quant_v_contrib); the
-    output folds back to channel order through a constant one-hot P
-    matmul — nothing is ever physically permuted;
-  * cross-head softmax leakage is impossible: off-head logits are -inf;
+    rho(j, h, w, half) = j*(2*Hg*Dw) + h*(2*Dw) + 2w + half, staged
+    into a HEAD-MAJOR vals scratch so each head's contraction is one
+    (D, C) tile; V scales apply on the PROBABILITY rows (see
+    quant_v_contrib) with the output folded back to channel order
+    through a constant one-hot P matmul — nothing is ever physically
+    permuted;
   * dead chunks (beyond the valid cache length) cost neither compute
     nor DMA: their block indices clamp to the last live block, so the
     Pallas revisit-elision skips the fetch — a partially filled cache
@@ -60,8 +65,8 @@ def _iota(shape, dim):
 
 def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             vwb_ref, vsb_ref, vmb_ref, kwin_ref, vwin_ref, o_ref,
-            m_scr, l_scr, acc_scr, qbd_scr, qnat_scr, qzp_scr, pwin_scr,
-            maskv_scr, pfold_scr, p_scr, *,
+            m_scr, l_scr, acc_scr, stT_scr, vals_scr, qnat_scr, qzp_scr,
+            pwin_scr, maskv_scr, pfold_scr, p_scr, *,
             k_bits: int, v_bits: int, gs: int, C: int, W: int, r: int,
             T: int, sm_scale: float, cdt):
     nkq = cnt_ref[0]
@@ -74,17 +79,40 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     Hkv = kw_ref.shape[1]            # the folded head-group size
     HR, D = q_ref.shape[1], q_ref.shape[2]
     HD = Hkv * D
-    kdw2 = 2 * (D * k_bits // 32)    # rho rows per (j, head) block for K
-    vdw2 = 2 * (D * v_bits // 32)
-    njk = 16 // k_bits
-    njv = 16 // v_bits
+    # rows per (j, head) block and j-block count: crumb layout (2/4-bit,
+    # sublane-doubling bitcast) vs plane layout (8-bit, shift+mask+cast)
+    kdw2 = 2 * (D * k_bits // 32) if k_bits in (2, 4) else D // 4
+    vdw2 = 2 * (D * v_bits // 32) if v_bits in (2, 4) else D // 4
+    njk = 16 // k_bits if k_bits in (2, 4) else 4
+    njv = 16 // v_bits if v_bits in (2, 4) else 4
     nbv = Hkv * vdw2
     Dg = D // gs
     cg = C // gs
-    Fk = float({2: 128, 4: 16}[k_bits])
-    Fv = float({2: 128, 4: 16}[v_bits])
+    Fk = float({2: 128, 4: 16, 8: 1}[k_bits])
+    Fv = float({2: 128, 4: 16, 8: 1}[v_bits])
     expo = jnp.uint32(0x3F80_3F80)
     kw = dict(preferred_element_type=jnp.float32)
+
+    def unpack_rows(words, bits, j):
+        """j-th block of bf16 'value' rows from packed u32 word rows.
+
+        2/4-bit crumbs: 3 int ops + free u32->bf16 bitcast (doubles the
+        sublanes); rows are b - 1 = c/F EXACTLY (see the precision note
+        in _init).  8-bit planes: shift+mask+int cast; rows are the
+        CENTERED codes c - 128 (exact in bf16, 8 significand bits), so
+        the dequant affine is x = scale*(c-128) + (mn + 128*scale) with
+        the 128*scale correction folded into the zero-point projection.
+        Row count is `kdw2`/`vdw2` per head either way."""
+        if bits in (2, 4):
+            m = jnp.uint32({2: 0x0003_0003, 4: 0x000F_000F}[bits])
+            t = (words >> jnp.uint32(bits * j)) & m
+            if bits == 4:
+                t = t << jnp.uint32(3)
+            v = pltpu.bitcast(t | expo, jnp.bfloat16).astype(cdt)
+            return v - cdt(1.0)
+        t = ((words >> jnp.uint32(8 * j)) & jnp.uint32(0xFF)).astype(
+            jnp.int32)
+        return (t - 128).astype(cdt)
     # V j-block channel span [j*vdw2, (j+1)*vdw2) sits in ONE quant group
     # when gs % vdw2 == 0: the dequant affine then moves to the
     # PROBABILITY rows (HR of them) instead of the value columns (nbv):
@@ -102,13 +130,6 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
         pwin_scr[:] = jnp.zeros_like(pwin_scr)
         q = q_ref[0].astype(cdt) * cdt(sm_scale)  # fold sm_scale into q
-        # block-diagonal q over K-rho columns: per j-block, lane-tile the
-        # j-th channel slice Hkv times (tile order == h-major) and mask
-        for j in range(njk):
-            qj = pltpu.repeat(q[:, j * kdw2:(j + 1) * kdw2], Hkv, 1)
-            col_h = _iota((HR, Hkv * kdw2), 1) // kdw2
-            qbd_scr[:, j * Hkv * kdw2:(j + 1) * Hkv * kdw2] = jnp.where(
-                col_h == head_of_row, qj, 0)
         # natural-order block-diagonal q, kept in scratch for the
         # per-SUPERBLOCK zero-point projection (scales/zps arrive as
         # Sg-group superblocks, so the zp logits are recomputed from
@@ -155,7 +176,6 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         n = words3.shape[-1]
         pc = p.astype(cdt)
         vlive = (pos0 + _iota((1, n), 1) < nvq).astype(cdt)
-        mask2v = jnp.uint32({2: 0x0003_0003, 4: 0x000F_000F}[v_bits])
         vwords = words3.reshape(Hkv * words3.shape[1], n)
         if not v_bcast:
             # one-hot rho-row expansion fallback (gs < vdw2)
@@ -167,16 +187,14 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         acc_add = jnp.zeros((HR, D), jnp.float32)
         consts = []
         for j in range(njv):
-            t = (vwords >> jnp.uint32(v_bits * j)) & mask2v
-            if v_bits == 4:
-                t = t << jnp.uint32(3)
-            vals_j = pltpu.bitcast(t | expo, jnp.bfloat16).astype(cdt)
-            vals_j = vals_j - cdt(1.0)   # exact c/F; see _init note
+            vals_j = unpack_rows(vwords, v_bits, j)
             if v_bcast:
                 gj = j * vdw2 // gs
                 # own-head scale/zp rows expanded over the r query rows
                 vs_row = vs3[:, gj, :].astype(cdt) * cdt(Fv)
                 vm_row = vm3[:, gj, :].astype(cdt)           # (Hkv, n)
+                if v_bits == 8:
+                    vm_row = vm_row + cdt(128.0) * vs_row
                 if r > 1:
                     vs_row = jnp.repeat(vs_row, r, axis=0)
                     vm_row = jnp.repeat(vm_row, r, axis=0)   # (HR, n)
@@ -196,6 +214,8 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
                 ).astype(cdt)
                 vm_j = jax.lax.dot_general(
                     ev_j, vmn, (((0,), (0,)), ((), ())), **kw).astype(cdt)
+                if v_bits == 8:
+                    vm_j = vm_j + cdt(128.0) * vs_j
                 vcols_j = (vals_j * vs_j + vm_j) * vlive
                 ow_j = jax.lax.dot_general(pc, vcols_j,
                                            (((1,), (1,)), ((), ())), **kw)
@@ -218,20 +238,12 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
                              (it + 1) * C > lo))
     def _chunk():
         t0 = it * C
-        mask2 = jnp.uint32({2: 0x0003_0003, 4: 0x000F_000F}[k_bits])
         kwords = kw_ref[0].reshape(Hkv * kw_ref.shape[2], C)
         # K scales/zps arrive as SUPERBLOCKS of Sg groups (Sg = 128, the
         # Mosaic lane-tile, or the full Tg when Tg < 128): resident
-        # scale VMEM and per-chunk select cost are context-length-
-        # independent, so the head fold and chunk math that win at 4K
-        # stay identical at 32K.  The chunk's group->token expansion is
-        # ONE fused one-hot (Sg, C) dot: although its MAC count
-        # (nb*Sg*C) exceeds the two-stage select-then-expand form
-        # (nb*(Sg*cg + cg*C)), the MXU pass count is LOWER — Sg = 128
-        # fills exactly one contraction tile, so the fused dot is
-        # ceil(nb/128)*ceil(C/128) passes where the two-stage form pays
-        # the same for the expand PLUS ceil(nb/128) for the select
-        # (whose cg<<128 output lanes pad to a full tile anyway).
+        # scale VMEM and per-chunk cost are context-length-independent,
+        # so the head fold and chunk math that win at 4K stay identical
+        # at 32K.
         Sg = km_ref.shape[-1]
         sel_e = (_iota((Sg, C), 0)
                  == (it * cg) % Sg + _iota((Sg, C), 1) // gs).astype(cdt)
@@ -240,31 +252,64 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         # projection runs once per Sg-group block (== once per program
         # at 4K, 8x per program at 32K — amortized exactly like the old
         # full-width precompute), leaving the per-chunk cost at the
-        # (Sg, cg) select.  Recompute on superblock entry; a left-pad
-        # can skip chunk 0, so the first LIVE chunk also recomputes.
+        # (Sg, cg) select.  The SCALE side transposes the superblock
+        # once on entry (Hg*D/128 MXU tile-transposes, same
+        # amortization) so the chunk's scale rows can slice off its
+        # SUBLANES and fold into the query side (see below).  Recompute
+        # on superblock entry; a left-pad can skip chunk 0, so the
+        # first LIVE chunk also recomputes.
         @pl.when(jnp.logical_or((it * cg) % Sg == 0, it == lo // C))
         def _qzp_super():
-            qzp_scr[:] = jnp.dot(qnat_scr[:].astype(cdt),
-                                 km_ref[0].reshape(HD, Sg).astype(cdt),
-                                 **kw)
+            zp = jnp.dot(qnat_scr[:].astype(cdt),
+                         km_ref[0].reshape(HD, Sg).astype(cdt), **kw)
+            if k_bits == 8:
+                # centered 8-bit codes: x = scale*(c-128) + (mn+128*scale)
+                zp = zp + 128.0 * jnp.dot(
+                    qnat_scr[:].astype(cdt),
+                    ks_ref[0].reshape(HD, Sg).astype(cdt), **kw)
+            qzp_scr[:] = zp
+            stT_scr[:] = jnp.transpose(
+                ks_ref[0].reshape(HD, Sg), (1, 0)).astype(cdt) * cdt(Fk)
 
         s = jnp.dot(qzp_scr[:].astype(cdt), sel_e, **kw)     # zp term
-        nb = Hkv * kdw2
-        # scaled values for all j-blocks concatenated, ONE QK dot over
-        # the full (HR, HD) x (HD, C) contraction
-        vs_parts = []
+
+        # ---- scale-folded QK (round 3; scripts/profile_wide_32k.py) --
+        # The old form expanded scales groups->tokens with a one-hot
+        # (Sg, C) dot per j-block — at full MXU utilization that is
+        # nb*Sg*C MACs/chunk of pure broadcast work, measured 0.68 ms of
+        # the 1.78 ms 32K chunk loop, as many MXU passes as the QK dot
+        # itself.  Folding the scale into the QUERY side deletes it:
+        # rows (g, rr) of Qh = q_h[rr] * (F*scale[:, g]) need the scale
+        # as lane-major rows — sliced from the TRANSPOSED superblock —
+        # and cg*r <= 128 keeps Qh inside one MXU row tile, so the
+        # per-head (cg*r, D) x (D, C) dots cost exactly the old QK dot's
+        # passes with NO expand dot and NO (HD, C) scale multiply.  The
+        # group structure comes back out via a sublane collapse of the
+        # (cg, C) per-row-block products against a static group mask.
+        # MHA 32K measured: 1.73 -> 1.38 ms/call at B=4, fill 32640.
+        # unpack into HEAD-MAJOR scratch: one head's channels contiguous
         for j in range(njk):
-            t = (kwords >> jnp.uint32(k_bits * j)) & mask2
-            if k_bits == 4:
-                t = t << jnp.uint32(3)
-            vals_j = pltpu.bitcast(t | expo, jnp.bfloat16).astype(cdt)
-            vals_j = vals_j - cdt(1.0)   # exact c/F; see _init note
-            sblk = ks_ref[0, :, j * kdw2:(j + 1) * kdw2, :]
-            sblk = sblk.reshape(nb, Sg).astype(cdt) * cdt(Fk)
-            sexp_j = jnp.dot(sblk, sel_e, **kw).astype(cdt)  # (nb, C)
-            vs_parts.append(vals_j * sexp_j)
-        vsc = jnp.concatenate(vs_parts, axis=0)              # (HD, C)
-        s += jnp.dot(qbd_scr[:].astype(cdt), vsc, **kw)
+            vals_j = unpack_rows(kwords, k_bits, j)
+            for h in range(Hkv):
+                vals_scr[h * D + j * kdw2:h * D + (j + 1) * kdw2, :] = (
+                    vals_j[h * kdw2:(h + 1) * kdw2, :])
+        boff = pl.multiple_of((it * cg) % Sg, 8)
+        sblkT = stT_scr[pl.ds(boff, cg), :]                  # (cg, HD)
+        qn = q_ref[0].astype(cdt) * cdt(sm_scale)            # (HR, D)
+        gmask = (_iota((cg, C), 0)
+                 == _iota((cg, C), 1) // gs).astype(jnp.float32)
+        srows = []
+        for h in range(Hkv):
+            sT_h = sblkT[:, h * D:(h + 1) * D]               # (cg, D)
+            qh_parts = [sT_h * qn[h * r + rr:h * r + rr + 1, :]
+                        for rr in range(r)]
+            Qh = (qh_parts[0] if r == 1
+                  else jnp.concatenate(qh_parts, axis=0))    # (r*cg, D)
+            sh = jnp.dot(Qh, vals_scr[h * D:(h + 1) * D, :], **kw)
+            for rr in range(r):
+                srows.append(jnp.sum(sh[rr * cg:(rr + 1) * cg, :] * gmask,
+                                     axis=0, keepdims=True))
+        s = s + jnp.concatenate(srows, axis=0)               # (HR, C)
         pos_row = t0 + _iota((HR, C), 1)
         s = jnp.where(jnp.logical_and(pos_row < nkq, pos_row >= lo),
                       s, NEG_INF)
@@ -342,16 +387,25 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
 
 
 def wide_kernel_supported(Tmax: int, W: int, v_flush: int, k_bits: int,
-                          v_bits: int, chunk: int = 512) -> bool:
+                          v_bits: int, chunk: int = 512,
+                          group_size: int = 32, r: int = 1) -> bool:
     """Static legality of fused_decode_attention_wide for a cache
     geometry: 2/4-bit stores, 128-aligned window and value flush (the
-    strip capture slices in 128-lane segments), and the chunk evenly
-    split by both T and W (window-phase pinned-block slices must stay
-    inside one chunk)."""
+    strip capture slices in 128-lane segments), the chunk evenly split
+    by both T and W (window-phase pinned-block slices must stay inside
+    one chunk), and the scale-folded QK's row/alignment bounds —
+    cg*r <= 128 (the per-head Q block must fit one MXU row tile) and
+    the chunk-base sublane slice of the transposed scale superblock
+    8-aligned (cg % 8 == 0, or a single-chunk cache where the base is
+    always 0)."""
     C = min(chunk, Tmax)
-    return (k_bits in (2, 4) and v_bits in (2, 4)
+    if C % group_size != 0:
+        return False
+    cg = C // group_size
+    return (k_bits in (2, 4, 8) and v_bits in (2, 4, 8)
             and W % 128 == 0 and v_flush % 128 == 0
-            and Tmax % C == 0 and C % W == 0 and W <= C)
+            and Tmax % C == 0 and C % W == 0 and W <= C
+            and cg * r <= 128 and (cg % 8 == 0 or Tmax == C))
 
 
 def default_head_fold(Hkv: int, r: int, D: int, Tg: int,
@@ -471,7 +525,8 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
             pltpu.VMEM((HR, 128), jnp.float32),              # m
             pltpu.VMEM((HR, 128), jnp.float32),              # l
             pltpu.VMEM((HR, D), jnp.float32),                # acc
-            pltpu.VMEM((HR, Hg * D), compute_dtype),         # q block-diag
+            pltpu.VMEM((Sg, Hg * D), compute_dtype),         # scales^T
+            pltpu.VMEM((Hg * D, C), compute_dtype),          # head-major K
             pltpu.VMEM((HR, Hg * D), compute_dtype),         # q natural
             pltpu.VMEM((HR, Sg), jnp.float32),               # zp logits
             pltpu.VMEM((HR, 3 * W), jnp.float32),            # strip probs

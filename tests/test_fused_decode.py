@@ -141,12 +141,62 @@ def test_wide_strip_spans_chunks(tprompt, steps, r):
                                rtol=3e-2, atol=3e-2)
 
 
+def test_dispatch_routes_8bit_to_wide():
+    """decode_attention(impl='pallas') at 8-bit rides the wide kernel
+    (round 3) instead of regressing to the split path when the fold
+    gives >= 8 rows."""
+    qcfg = QuantConfig(k_bits=8, v_bits=8, group_size=32,
+                       residual_length=128, v_flush=128)
+    B, H, r, D = 2, 4, 4, 128
+    cache = _mk_cache(300, 40, qcfg, B=B, H=H, D=D)
+    q = jax.random.normal(jax.random.PRNGKey(5), (B, H * r, 1, D),
+                          jnp.float32)
+    ref = decode_attention(q, cache, qcfg, impl="jnp")
+    got = decode_attention(q, cache, qcfg, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+
+
 def test_wide_gate_rejects_unaligned_flush():
     from kivi_tpu.kernels.fused_decode_wide import wide_kernel_supported
     assert not wide_kernel_supported(1024, 256, 32, 2, 2)   # v_flush!=128k
     assert not wide_kernel_supported(1024, 384, 128, 2, 2)  # C % W != 0
-    assert not wide_kernel_supported(1024, 128, 128, 8, 2)  # 8-bit K
+    assert wide_kernel_supported(1024, 128, 128, 8, 2)      # 8-bit K (r3)
+    assert not wide_kernel_supported(1024, 128, 128, 16, 2)
     assert wide_kernel_supported(4096, 128, 128, 2, 4)
+    # scale-folded QK bounds: cg*r must fit one MXU row tile and the
+    # superblock sublane slice must stay 8-aligned
+    assert not wide_kernel_supported(4096, 128, 128, 2, 2, r=16)
+    assert not wide_kernel_supported(4096, 128, 128, 2, 2, group_size=128)
+    assert wide_kernel_supported(512, 128, 128, 2, 2, group_size=128)
+
+
+@pytest.mark.parametrize("bits", [(8, 8), (8, 2), (2, 8)])
+@pytest.mark.parametrize("tprompt,steps,r", [
+    (200, 60, 4),    # mid-stream GQA
+    (128, 130, 1),   # MHA, flush boundaries crossed in decode
+])
+def test_wide_8bit_matches_split(bits, tprompt, steps, r):
+    """8-bit plane-layout stores ride the wide kernel (round 3): plane
+    shift+mask unpack, centered c-128 codes, the 128*scale correction
+    folded into the zero-point projection."""
+    from kivi_tpu.kernels.fused_decode_wide import (
+        fused_decode_attention_wide)
+    kb, vb = bits
+    qcfg = QuantConfig(k_bits=kb, v_bits=vb, group_size=32,
+                       residual_length=128, v_flush=128)
+    B, H, D = 2, 4, 128
+    cache = _mk_cache(tprompt, steps, qcfg, B=B, H=H, D=D)
+    q = jax.random.normal(jax.random.PRNGKey(9), (B, H * r, 1, D),
+                          jnp.float32)
+    ref = decode_attention(q, cache, qcfg, impl="jnp")
+    got = fused_decode_attention_wide(
+        q.reshape(B, H, r, D), cache.k_codes, cache.k_scale, cache.k_mn,
+        cache.v_codes, cache.v_scale, cache.v_mn, cache.k_win,
+        cache.v_win, cache.n_k_quant, cache.n_k_win, cache.n_v_quant,
+        group_size=32, k_bits=kb, v_bits=vb).reshape(B, H * r, 1, D)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
 
 
 @pytest.mark.parametrize("impl_cfg", [

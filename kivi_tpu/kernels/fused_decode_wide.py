@@ -144,6 +144,15 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         # (exact in bf16) is precision-load-bearing.
         qnat_scr[:] = jnp.where(_iota((HR, HD), 1) // D == head_of_row,
                                 pltpu.repeat(q, Hkv, 1), 0)
+
+    # program-INVARIANT scratch constants, built once per pallas_call:
+    # the TPU grid runs sequentially row-major, and scratch persists
+    # across program rows, so only the very first grid step pays the
+    # iota/div/mod builds (measurable at serving geometry — hundreds of
+    # programs per layer-step each otherwise rebuilding an (HD, D)
+    # one-hot).
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, it == 0))
+    def _init_shared():
         # V-rho row head mask (HR, Hkv*vdw2*njv == HD)
         vrho_h = (_iota((HR, HD), 1) % (Hkv * vdw2)) // vdw2
         maskv_scr[:] = (vrho_h == head_of_row).astype(cdt)

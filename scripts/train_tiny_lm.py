@@ -152,6 +152,8 @@ def main():
     ap.add_argument("--scan", type=int, default=25,
                     help="microsteps fused per dispatch (tunnel RTT)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--layers", type=int, default=None,
+                    help="override depth (e.g. a shallow speculative draft)")
     ap.add_argument("--out", type=str, default="evalsuite_runs/tiny_lm")
     ap.add_argument("--platform", type=str, default=None,
                     help="cpu|tpu (env JAX_PLATFORMS is too late: jax "
@@ -161,6 +163,9 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     cfg = TINY_LM
+    if args.layers is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, num_layers=args.layers)
     train, val = build_corpus()
     print(f"corpus: train {len(train) / 2**20:.1f} MiB, "
           f"val {len(val) / 2**20:.1f} MiB, backend "

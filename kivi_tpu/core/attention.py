@@ -88,12 +88,15 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
         swa_lo = jnp.full((B,), swa_lo, jnp.int32)
         lo = swa_lo if lo is None else jnp.maximum(
             jnp.asarray(lo, jnp.int32).reshape(B), swa_lo)
-    from kivi_tpu.kernels.fused_decode_wide import (default_head_fold,
+    from kivi_tpu.kernels.fused_decode_wide import (choose_chunk,
+                                                    default_head_fold,
                                                     wide_kernel_supported)
-    hg = default_head_fold(Hkv, r, D, Tmax // qcfg.group_size)
+    chunk = choose_chunk(Tmax, W, qcfg.value_flush, qcfg.k_bits,
+                         qcfg.v_bits, group_size=qcfg.group_size, r=r)
+    hg = default_head_fold(Hkv, r, D, Tmax // qcfg.group_size, chunk=chunk)
     if (impl == "pallas" and hg * r >= 8
             and wide_kernel_supported(Tmax, W, qcfg.value_flush,
-                                      qcfg.k_bits, qcfg.v_bits,
+                                      qcfg.k_bits, qcfg.v_bits, chunk=chunk,
                                       group_size=qcfg.group_size, r=r)):
         from kivi_tpu.kernels.fused_decode_wide import (
             fused_decode_attention_wide)
@@ -101,7 +104,7 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
             q.reshape(B, Hkv, r, D), cache.k_codes, cache.k_scale,
             cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
             cache.k_win, cache.v_win, cache.n_k_quant, cache.n_k_win,
-            cache.n_v_quant, group_size=qcfg.group_size,
+            cache.n_v_quant, group_size=qcfg.group_size, chunk=chunk,
             k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, pad_len=lo)
         return out.reshape(B, Hq, 1, D)
     if (impl == "pallas" and W % 128 == 0

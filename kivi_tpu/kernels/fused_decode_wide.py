@@ -417,6 +417,27 @@ def wide_kernel_supported(Tmax: int, W: int, v_flush: int, k_bits: int,
             and cg * r <= 128 and (cg % 8 == 0 or Tmax == C))
 
 
+def choose_chunk(Tmax: int, W: int, v_flush: int, k_bits: int,
+                 v_bits: int, *, group_size: int = 32, r: int = 1,
+                 long_context: int = 8192) -> int:
+    """Chunk size for the wide kernel, by context length.
+
+    C=512 wins the short-context serving regime end-to-end (the C=1024
+    kernel-level win at 4K, 2.99 vs 3.36 ms, did NOT survive bench.py at
+    B=72: 1,966 vs 2,001 tok/s).  At long contexts the chunk loop
+    dominates and halving the per-chunk fixed work (unpack dispatch,
+    masks, online-softmax bookkeeping) is pure profit: 32K measured
+    1.90 -> 1.34 ms/call (qfold kernel, B=4 MHA).  The pre-qfold compile
+    blowup that kept C=1024 off the table (>15 min at 32K) died with the
+    one-hot expand dot.  Falls back to 512 whenever 1024 is illegal for
+    the geometry (e.g. cg*r > 128 at large GQA folds)."""
+    for C in ((1024, 512) if Tmax >= long_context else (512,)):
+        if wide_kernel_supported(Tmax, W, v_flush, k_bits, v_bits,
+                                 chunk=C, group_size=group_size, r=r):
+            return C
+    return 512
+
+
 def default_head_fold(Hkv: int, r: int, D: int, Tg: int,
                       chunk: int = 512) -> int:
     """Largest Hg dividing Hkv with Hg*r <= 32 rows, Hg <= 16 (Hg=32

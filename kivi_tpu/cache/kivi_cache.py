@@ -375,61 +375,12 @@ def decode_append_masked(cache: KiviLayerCache, k_new, v_new,
     the store's own bytes back.  Per-step HBM traffic is O(window)
     instead of the O(cache) a vmapped cond would cost.
     """
-    W = qcfg.residual_length
-    vf = qcfg.value_flush
-    gs = qcfg.group_size
     dtype = cache.k_win.dtype
     act = (jnp.asarray(True) if active is None
            else jnp.asarray(active).reshape(()))
 
-    # ---- K flush (masked): quantize the whole window, maybe keep ----
-    flush_k = jnp.logical_and(act, cache.n_k_win == W)
-    k_t = jnp.swapaxes(cache.k_win, -1, -2)
-    if impl == "pallas":
-        from kivi_tpu.kernels.quant_pack import quantize_pack_k
-        kc, ks, km = quantize_pack_k(k_t, gs, qcfg.k_bits)
-    else:
-        kc, ks, km = Q.quantize_k_block(k_t, gs, qcfg.k_bits)
-    off = cache.n_k_quant
-    sdt = cache.k_scale.dtype
-    cache = dataclasses.replace(
-        cache,
-        k_codes=_masked_store_write(cache.k_codes, kc, (0, 0, 0, off),
-                                    flush_k),
-        k_scale=_masked_store_write(cache.k_scale, ks.astype(sdt),
-                                    (0, 0, 0, off // gs), flush_k),
-        k_mn=_masked_store_write(cache.k_mn, km.astype(sdt),
-                                 (0, 0, 0, off // gs), flush_k),
-        n_k_quant=off + jnp.where(flush_k, W, 0),
-        n_k_win=jnp.where(flush_k, 0, cache.n_k_win),
-    )
-
-    # ---- V flush (masked): oldest v_flush tokens, window shift ----
-    flush_v = jnp.logical_and(act, cache.n_v_win == W)
-    oldest = cache.v_win[:, :, :vf, :]
-    if impl == "pallas":
-        from kivi_tpu.kernels.quant_pack import quantize_pack_v
-        vc, vs, vm = quantize_pack_v(jnp.swapaxes(oldest, -1, -2), gs,
-                                     qcfg.v_bits)
-    else:
-        vc, vs, vm = Q.quantize_v_block(oldest, gs, qcfg.v_bits)
-    voff = cache.n_v_quant
-    sdt = cache.v_scale.dtype
-    shifted = jnp.concatenate(
-        [cache.v_win[:, :, vf:, :],
-         jnp.zeros_like(cache.v_win[:, :, :vf, :])], axis=-2)
-    cache = dataclasses.replace(
-        cache,
-        v_codes=_masked_store_write(cache.v_codes, vc, (0, 0, 0, voff),
-                                    flush_v),
-        v_scale=_masked_store_write(cache.v_scale, vs.astype(sdt),
-                                    (0, 0, 0, voff), flush_v),
-        v_mn=_masked_store_write(cache.v_mn, vm.astype(sdt),
-                                 (0, 0, 0, voff), flush_v),
-        v_win=jnp.where(flush_v, shifted, cache.v_win),
-        n_v_quant=voff + jnp.where(flush_v, vf, 0),
-        n_v_win=cache.n_v_win - jnp.where(flush_v, vf, 0),
-    )
+    cache = flush_k_masked(cache, qcfg, impl, pred=act)
+    cache = flush_v_masked(cache, qcfg, impl, pred=act)
 
     # ---- append: inactive rows' writes land at the (frozen) counters,
     # beyond the valid count, hence invisible to attention.  The
@@ -446,6 +397,127 @@ def decode_append_masked(cache: KiviLayerCache, k_new, v_new,
                                   (0, 0, cache.n_v_win, 0), act),
         n_k_win=cache.n_k_win + act.astype(jnp.int32),
         n_v_win=cache.n_v_win + act.astype(jnp.int32),
+    )
+
+
+def window_append_capped(cache: KiviLayerCache, k_new, v_new,
+                         active=None) -> KiviLayerCache:
+    """Append T1 tokens' post-RoPE K/V (B, H, T1, D) to the fp windows
+    ONLY — no flushes, no quantization — dropping tokens that would
+    overflow a window instead of clobbering its last row (a plain
+    dynamic_update_slice at n_win == W clamps the start and overwrites
+    the newest REAL token, which the next flush would quantize
+    permanently).
+
+    This is the speculative-decoding ingest: a speculation block never
+    crosses a flush boundary (the engine clamps its width to the next
+    boundary), so accepted tokens always fit the window and rejecting a
+    block is a pure counter rollback (`rollback_counters`) — dropped or
+    stale rows sit beyond the valid counts, invisible to attention and
+    overwritten by later appends before any flush can see them.
+
+    active: optional scalar bool — False freezes the append entirely
+    (continuous-batcher slots under vmap)."""
+    W = cache.k_win.shape[2]
+    T1 = k_new.shape[-2]
+    dtype = cache.k_win.dtype
+    act = (jnp.asarray(True) if active is None
+           else jnp.asarray(active).reshape(()))
+    k_win, v_win = cache.k_win, cache.v_win
+    nkw, nvw = cache.n_k_win, cache.n_v_win
+    for i in range(T1):
+        ok_k = jnp.logical_and(act, nkw < W)
+        ok_v = jnp.logical_and(act, nvw < W)
+        k_win = _masked_store_write(
+            k_win, k_new[:, :, i:i + 1, :].astype(dtype),
+            (0, 0, nkw, 0), ok_k)
+        v_win = _masked_store_write(
+            v_win, v_new[:, :, i:i + 1, :].astype(dtype),
+            (0, 0, nvw, 0), ok_v)
+        nkw = nkw + ok_k.astype(jnp.int32)
+        nvw = nvw + ok_v.astype(jnp.int32)
+    return dataclasses.replace(cache, k_win=k_win, v_win=v_win,
+                               n_k_win=nkw, n_v_win=nvw)
+
+
+def rollback_counters(cache: KiviLayerCache, n_tokens) -> KiviLayerCache:
+    """Roll the window counters back so the cache holds exactly
+    `n_tokens` committed tokens.  Valid only when the quantized
+    watermarks never moved past n_tokens (guaranteed by the
+    window-only speculative ingest, `window_append_capped`): the
+    stale window rows beyond the new counts are invisible to attention
+    and overwritten by later appends before any flush reads them."""
+    n = jnp.asarray(n_tokens, jnp.int32)
+    return dataclasses.replace(cache,
+                               n_k_win=n - cache.n_k_quant,
+                               n_v_win=n - cache.n_v_quant)
+
+
+def flush_k_masked(cache: KiviLayerCache, qcfg: QuantConfig,
+                   impl: str = "jnp", pred=None) -> KiviLayerCache:
+    """Masked key-window flush: quantize the window and append it iff
+    `pred & (n_k_win == W)` — slice-sized selected writes
+    (`_masked_store_write`), never a cond over full stores.  This is
+    `decode_append_masked`'s flush half, exposed for callers that flush
+    WITHOUT appending (the speculative batcher's boundary flush at
+    iteration start)."""
+    W = qcfg.residual_length
+    gs = qcfg.group_size
+    p = jnp.asarray(True) if pred is None else jnp.asarray(pred).reshape(())
+    flush_k = jnp.logical_and(p, cache.n_k_win == W)
+    k_t = jnp.swapaxes(cache.k_win, -1, -2)
+    if impl == "pallas":
+        from kivi_tpu.kernels.quant_pack import quantize_pack_k
+        kc, ks, km = quantize_pack_k(k_t, gs, qcfg.k_bits)
+    else:
+        kc, ks, km = Q.quantize_k_block(k_t, gs, qcfg.k_bits)
+    off = cache.n_k_quant
+    sdt = cache.k_scale.dtype
+    return dataclasses.replace(
+        cache,
+        k_codes=_masked_store_write(cache.k_codes, kc, (0, 0, 0, off),
+                                    flush_k),
+        k_scale=_masked_store_write(cache.k_scale, ks.astype(sdt),
+                                    (0, 0, 0, off // gs), flush_k),
+        k_mn=_masked_store_write(cache.k_mn, km.astype(sdt),
+                                 (0, 0, 0, off // gs), flush_k),
+        n_k_quant=off + jnp.where(flush_k, W, 0),
+        n_k_win=jnp.where(flush_k, 0, cache.n_k_win),
+    )
+
+
+def flush_v_masked(cache: KiviLayerCache, qcfg: QuantConfig,
+                   impl: str = "jnp", pred=None) -> KiviLayerCache:
+    """Masked value-window flush (oldest v_flush tokens + window shift)
+    iff `pred & (n_v_win == W)` — see flush_k_masked."""
+    W = qcfg.residual_length
+    vf = qcfg.value_flush
+    gs = qcfg.group_size
+    p = jnp.asarray(True) if pred is None else jnp.asarray(pred).reshape(())
+    flush_v = jnp.logical_and(p, cache.n_v_win == W)
+    oldest = cache.v_win[:, :, :vf, :]
+    if impl == "pallas":
+        from kivi_tpu.kernels.quant_pack import quantize_pack_v
+        vc, vs, vm = quantize_pack_v(jnp.swapaxes(oldest, -1, -2), gs,
+                                     qcfg.v_bits)
+    else:
+        vc, vs, vm = Q.quantize_v_block(oldest, gs, qcfg.v_bits)
+    voff = cache.n_v_quant
+    sdt = cache.v_scale.dtype
+    shifted = jnp.concatenate(
+        [cache.v_win[:, :, vf:, :],
+         jnp.zeros_like(cache.v_win[:, :, :vf, :])], axis=-2)
+    return dataclasses.replace(
+        cache,
+        v_codes=_masked_store_write(cache.v_codes, vc, (0, 0, 0, voff),
+                                    flush_v),
+        v_scale=_masked_store_write(cache.v_scale, vs.astype(sdt),
+                                    (0, 0, 0, voff), flush_v),
+        v_mn=_masked_store_write(cache.v_mn, vm.astype(sdt),
+                                 (0, 0, 0, voff), flush_v),
+        v_win=jnp.where(flush_v, shifted, cache.v_win),
+        n_v_quant=voff + jnp.where(flush_v, vf, 0),
+        n_v_win=cache.n_v_win - jnp.where(flush_v, vf, 0),
     )
 
 

@@ -113,10 +113,20 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                      qcfg: QuantConfig, positions, *, mode: str,
                      impl: str, flush: bool = True, pad_len=None,
                      active=None, prev_len: int = 0, seq_mesh=None,
-                     prev_pos=None) -> Tuple[jax.Array, LayerCache]:
+                     prev_pos=None,
+                     ingest: str = "quant") -> Tuple[jax.Array, LayerCache]:
     """mode: 'prefill' (T tokens, cache must be empty), 'decode' (T==1),
     or 'extend' (T suffix tokens onto a cache holding prev_len — STATIC —
     tokens: chunked prefill / prefix caching).
+
+    ingest: 'quant' (default) runs the cache's normal ingest
+    (prefill_extend / decode_append, which may quantize-flush);
+    'window' appends to the fp windows ONLY via
+    `KC.window_append_capped` — never flushes, never moves a quantized
+    watermark, drops tokens beyond window capacity.  This is the
+    speculative-decoding ingest: committing a rejected block becomes a
+    pure counter rollback (`KC.rollback_counters`).  Extend/decode modes
+    only; fp caches ignore it (fp_append already rolls back by counter).
 
     seq_mesh: optional (Mesh, axis-name[, perm]) — prefill-only
     sequence parallelism: the token axis arrives sharded over the mesh
@@ -188,7 +198,10 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
         # chunked prefill with one shared compilation.  Per-suffix
         # raggedness (pads between prefix and suffix) stays
         # unrepresentable.
-        assert active is None
+        # active: only the window-only ingest can freeze per-row (the
+        # batched speculative verify under vmap); the quantizing ingest
+        # has no masked variant in extend mode.
+        assert active is None or ingest == "window"
         if pad_len is not None and prev_pos is not None:
             # same rule as prefill: pad slots' K/V are zeroed so the K
             # quantization groups straddling the pad boundary see 0s
@@ -203,12 +216,17 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
             out = fp_extend_attention(q, k, v, cache,
                                       sliding_window=cfg.sliding_window,
                                       pad_len=pad_len)
-            cache = fp_append(cache, k, v)
+            cache = fp_append_masked(cache, k, v, active)
         else:
             out = extend_attention(q, k, v, cache, qcfg, impl=impl,
                                    sliding_window=cfg.sliding_window,
                                    pad_len=pad_len)
-            cache = KC.prefill_extend(cache, k, v, qcfg, prev_len, impl)
+            if ingest == "window":
+                cache = KC.window_append_capped(cache, k, v,
+                                                active=active)
+            else:
+                cache = KC.prefill_extend(cache, k, v, qcfg, prev_len,
+                                          impl)
     else:
         if isinstance(cache, FpLayerCache):
             cache = (fp_append_masked(cache, k, v, active)
@@ -217,7 +235,10 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                                       sliding_window=cfg.sliding_window,
                                       impl=impl, pad_len=pad_len)
         else:
-            if active is not None:
+            if ingest == "window":
+                cache = KC.window_append_capped(cache, k, v,
+                                                active=active)
+            elif active is not None:
                 # divergent per-row state (continuous batcher under
                 # vmap): masked slice writes, no cond machinery
                 cache = KC.decode_append_masked(cache, k, v, qcfg, impl,
@@ -235,12 +256,12 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
 
 def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl,
                    flush=True, pad_len=None, active=None, prev_len=0,
-                   seq_mesh=None, prev_pos=None):
+                   seq_mesh=None, prev_pos=None, ingest="quant"):
     h, cache = _attention_block(
         rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps), lp, cache, cfg, qcfg,
         positions, mode=mode, impl=impl, flush=flush, pad_len=pad_len,
         active=active, prev_len=prev_len, seq_mesh=seq_mesh,
-        prev_pos=prev_pos)
+        prev_pos=prev_pos, ingest=ingest)
     x = x + h
     x = x + swiglu_mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps),
                        lp["wg"], lp["wu"], lp["wd"])
@@ -260,7 +281,7 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             active: Optional[jax.Array] = None,
             prev_len: int = 0, seq_mesh=None,
             last_index: Optional[int] = None,
-            prev_pos=None) -> Tuple[jax.Array, Any]:
+            prev_pos=None, ingest: str = "quant") -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 ROPE positions (for
     left-padded rows: cache index minus pad_len, clamped at 0).
 
@@ -295,7 +316,7 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
                                       flush=flush, pad_len=pad_len,
                                       active=active, prev_len=prev_len,
                                       seq_mesh=seq_mesh,
-                                      prev_pos=prev_pos)
+                                      prev_pos=prev_pos, ingest=ingest)
     if last_only:
         # last_index: STATIC slot of the sequence's true last token —
         # under a striped (permuted) layout it is not slot T-1

@@ -12,23 +12,30 @@ the draft cheap to co-host: both models' KV caches are 2/4-bit.
 
 TPU shape discipline: every iteration is exactly two fixed-shape
 dispatches — the draft's k-step `lax.scan` and the target's width-(k+1)
-extend — plus O(k) host logic.  Rejection does NOT recompile anything:
+extend — plus O(k) host logic, each compiled ONCE (no per-phase
+recompiles: neither carries a static flush schedule).
 
-Cache rewind.  jax arrays are immutable, so the pre-iteration cache
-pytree survives for free; the problem is producing "cache with only the
-j+1 accepted tokens" afterwards.  Two paths:
-  * counter rewind (common): if no quantization watermark moved past
-    the accepted length, the speculative tokens live only in the fp
-    windows — rewinding the two window counters makes the stale slots
-    dead, and every later writer (decode_append at n_win, flush of a
-    FULL window, prefill_extend reading [:n_win)) overwrites them
-    before any reader sees them.  One eager `flush_k_now` restores the
-    prefill-canonical "flushed at T % W == 0" state when the rewind
-    lands exactly on a key-block boundary (the same K/V canonical-state
-    asymmetry generate_stream handles at segment boundaries).
-  * replay (rare, quant watermark crossed): re-append the accepted
-    tokens one by one through a teacher-forced decode jit from the
-    retained pre-iteration pytree, then the same boundary flush.
+Flush-boundary discipline (the correctness core).  Sequential decode
+quantize-flushes a full fp window BEFORE the append that would overfill
+it, so tokens after a flush attend the just-quantized history — but a
+width-(k+1) verify attends the block-START cache state at every
+position.  If a flush boundary fell inside the block, verify logits
+would diverge from sequential decode's even under a perfect draft
+(observed: k=5 perfect-draft acceptance dropping to 3 with a diverged
+stream).  Three rules make the block's sequential twin flush-free:
+
+  * eager boundary flush: at iteration start, if a window is exactly
+    full (host-tracked watermarks — exact, because these are the only
+    flushes), flush it — the same moment sequential decode would;
+  * block clamp: accept at most `keff = min(k, cap_k - 1, cap_v - 1)`
+    draft tokens, where cap is the post-flush window headroom of BOTH
+    models — the committed count never crosses a boundary mid-block;
+  * window-only ingest: draft scan and verify append K/V via
+    `KC.window_append_capped` (`ingest="window"`), which never flushes
+    and never moves a quantized watermark, so rejecting a block is a
+    pure counter rollback (`KC.rollback_counters`) — stale rows beyond
+    the rolled-back counts are invisible to attention and overwritten
+    by the next block before any flush can quantize them.
 """
 
 from __future__ import annotations
@@ -42,19 +49,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from kivi_tpu.cache.fp_cache import FpLayerCache
-from kivi_tpu.cache.kivi_cache import flush_k_now
+from kivi_tpu.cache import kivi_cache as KC
 from kivi_tpu.models import modeling
-from kivi_tpu.serving.engine import (Engine, canonical_phase,
-                                     nkq_prefill as _nkq_prefill,
+from kivi_tpu.serving.engine import (Engine, nkq_prefill as _nkq_prefill,
                                      nvq_canonical as _nvq)
-
-
-def _nkq_decode(T: int, W: int) -> int:
-    """Quantized-key count after reaching T tokens via decode appends
-    (flush fires BEFORE the append that would overfill, so a window
-    that just filled stays unflushed: differs from prefill-canonical
-    exactly at T % W == 0)."""
-    return ((T - 1) // W) * W if T > 0 else 0
 
 
 def spec_accept(p: np.ndarray, q: np.ndarray, xs: np.ndarray,
@@ -101,59 +99,88 @@ class SpeculativeEngine:
         if target.cfg.vocab_size != draft.cfg.vocab_size:
             raise ValueError("target and draft must share a vocabulary")
         self.target, self.draft, self.k = target, draft, k
-        # non-donating jits: rewind/replay needs the pre-iteration
-        # pytrees to stay valid, so none of these may alias their
-        # cache operands (unlike the engines' own donating jits)
+        # all cache operands are donated: the window-only ingest means
+        # nothing ever needs the pre-iteration pytree back (rejection is
+        # a counter rollback on the NEW caches)
         self._verify = jax.jit(
             functools.partial(self._verify_fn, cfg=target.cfg,
                               qcfg=target.qcfg, impl=target.impl),
-            static_argnames=("prev_len",))
+            donate_argnums=(3,))
         self._draft_scan = jax.jit(
-            functools.partial(Engine._decode_scan_fn, cfg=draft.cfg,
+            functools.partial(self._draft_scan_fn, cfg=draft.cfg,
                               qcfg=draft.qcfg, impl=draft.impl),
-            static_argnames=("steps", "temperature", "prompt_len",
-                             "top_k", "top_p", "repetition_penalty"))
+            static_argnames=("steps",), donate_argnums=(3,))
         self._draft_sample_scan = jax.jit(
             functools.partial(self._draft_sample_scan_fn, cfg=draft.cfg,
                               qcfg=draft.qcfg, impl=draft.impl),
-            static_argnames=("steps", "temperature", "top_k", "top_p",
-                             "prompt_len"))
-        self._replay_step = {
-            "target": jax.jit(functools.partial(
-                Engine._decode_fn, cfg=target.cfg, qcfg=target.qcfg,
-                impl=target.impl)),
-            "draft": jax.jit(functools.partial(
-                Engine._decode_fn, cfg=draft.cfg, qcfg=draft.qcfg,
-                impl=draft.impl)),
-        }
-        self._flush_k = {
-            "target": jax.jit(lambda cs: [
-                flush_k_now(c, target.qcfg, target.impl) for c in cs]),
-            "draft": jax.jit(lambda cs: [
-                flush_k_now(c, draft.qcfg, draft.impl) for c in cs]),
-        }
-        # rewind-path usage counters (tests + bench introspection)
-        self.stats = {"rewind": 0, "replay": 0, "boundary_flush": 0}
+            static_argnames=("steps", "temperature", "top_k", "top_p"),
+            donate_argnums=(3,))
+        self._draft_bonus = jax.jit(
+            functools.partial(self._bonus_fn, cfg=draft.cfg,
+                              qcfg=draft.qcfg, impl=draft.impl),
+            donate_argnums=(3,))
+
+        def mk_flush(eng, which):
+            f = KC.flush_k_now if which == "k" else KC.flush_v_now
+            return jax.jit(
+                lambda cs: [f(c, eng.qcfg, eng.impl) for c in cs],
+                donate_argnums=(0,))
+
+        self._flush_k = {"target": mk_flush(target, "k"),
+                         "draft": mk_flush(draft, "k")}
+        self._flush_v = {"target": mk_flush(target, "v"),
+                         "draft": mk_flush(draft, "v")}
+        self._rollback = jax.jit(self._rollback_fn, donate_argnums=(0,))
+        # boundary-discipline usage counters (tests + introspection)
+        self.stats = {"boundary_flush_k": 0, "boundary_flush_v": 0,
+                      "clamped": 0}
+
+    # -- jitted bodies --------------------------------------------------------
+
+    @staticmethod
+    def _rollback_fn(caches, n):
+        """Counters-only rewind to exactly `n` committed tokens (valid
+        because window-only ingest never moves a quantized watermark)."""
+        n = jnp.asarray(n, jnp.int32)
+        return [dataclasses.replace(c, length=n)
+                if isinstance(c, FpLayerCache)
+                else KC.rollback_counters(c, n) for c in caches]
+
+    @staticmethod
+    def _draft_scan_fn(params, first_token, first_pos, caches, *, cfg,
+                       qcfg, impl, steps: int):
+        """k greedy draft steps with window-only cache ingest — no flush
+        schedule, so ONE compilation covers every position.  Returns
+        (tokens (B, steps), caches)."""
+        def body(carry, _):
+            token, pos, caches = carry
+            logits, caches = modeling.forward(
+                params, token, caches, cfg, qcfg, pos, mode="decode",
+                impl=impl, ingest="window")
+            nxt = jnp.argmax(logits[:, -1, :], -1).astype(
+                jnp.int32)[:, None]
+            return (nxt, pos + 1, caches), nxt[:, 0]
+
+        carry, toks = jax.lax.scan(body, (first_token, first_pos, caches),
+                                   None, length=steps)
+        return jnp.swapaxes(toks, 0, 1), carry[2]
 
     @staticmethod
     def _draft_sample_scan_fn(params, first_token, first_pos, caches, rng,
                               *, cfg, qcfg, impl, steps: int,
-                              temperature: float, top_k: int, top_p: float,
-                              prompt_len: int):
-        """Sampling twin of Engine._decode_scan_fn that ALSO emits each
-        step's full warped probability row — the q measure the accept-
-        reject rule needs.  Same statically-scheduled flush segments;
-        no penalty/pad (speculative sampling is B=1, penalty-free).
-        Returns (tokens (B, steps), probs (B, steps, V), caches)."""
+                              temperature: float, top_k: int,
+                              top_p: float):
+        """Sampling twin of _draft_scan_fn that ALSO emits each step's
+        full warped probability row — the q measure the accept-reject
+        rule needs.  Returns (tokens (B, steps), probs (B, steps, V),
+        caches)."""
         from kivi_tpu.serving import sampling
-
-        static_flush = prompt_len > 0 and qcfg.quantize_kv
 
         def body(carry, _):
             token, pos, caches, rng = carry
             logits, caches = modeling.forward(
                 params, token, caches, cfg, qcfg, pos, mode="decode",
-                impl=impl, flush=not static_flush)
+                impl=impl, ingest="window")
             warped = sampling.warp_logits(
                 logits[:, -1, :], temperature=temperature, top_k=top_k,
                 top_p=top_p)
@@ -164,89 +191,64 @@ class SpeculativeEngine:
             return (nxt, pos + 1, caches, rng), (nxt[:, 0], probs)
 
         carry = (first_token, first_pos, caches, rng)
-        if not static_flush:
-            carry, (toks, probs) = jax.lax.scan(body, carry, None,
-                                                length=steps)
-            return (jnp.swapaxes(toks, 0, 1),
-                    jnp.swapaxes(probs, 0, 1), carry[2])
-        events = Engine._flush_schedule(qcfg, prompt_len, steps)
-        tok_segs, prob_segs, done = [], [], 0
-        for b in sorted(events) + [steps]:
-            if b - done > 0:
-                carry, (toks, probs) = jax.lax.scan(body, carry, None,
-                                                    length=b - done)
-                tok_segs.append(jnp.swapaxes(toks, 0, 1))
-                prob_segs.append(jnp.swapaxes(probs, 0, 1))
-                done = b
-            if b in events:
-                fk, fv = events[b]
-                token, pos, caches, rng = carry
-                caches = modeling.flush_caches(caches, qcfg, impl,
-                                               k=fk, v=fv)
-                carry = (token, pos, caches, rng)
-        return (jnp.concatenate(tok_segs, axis=1),
-                jnp.concatenate(prob_segs, axis=1), carry[2])
+        carry, (toks, probs) = jax.lax.scan(body, carry, None,
+                                            length=steps)
+        return (jnp.swapaxes(toks, 0, 1), jnp.swapaxes(probs, 0, 1),
+                carry[2])
 
     @staticmethod
-    def _verify_fn(params, tokens, pos0, caches, *, prev_len, cfg, qcfg,
-                   impl):
+    def _verify_fn(params, tokens, pos0, caches, *, cfg, qcfg, impl):
         """Width-(k+1) extend returning logits at EVERY position (the
-        engine's own extend is last-only); appends all k+1 tokens."""
+        engine's own extend is last-only); window-only ingest, so no
+        static prev_len and ONE compilation covers every position."""
         B, T1 = tokens.shape
         positions = jnp.broadcast_to(
             pos0 + jnp.arange(T1, dtype=jnp.int32), (B, T1))
         logits, caches = modeling.forward(
             params, tokens, caches, cfg, qcfg, positions, mode="extend",
-            impl=impl, last_only=False, prev_len=prev_len)
+            impl=impl, last_only=False, ingest="window")
         return logits, caches
 
-    # -- cache rewind -------------------------------------------------------
+    @staticmethod
+    def _bonus_fn(params, token, pos, caches, *, cfg, qcfg, impl):
+        """One draft decode step, window ingest, logits discarded: feeds
+        the final proposal back after a full-depth accept (the scan
+        emits it but never consumes it)."""
+        _, caches = modeling.forward(
+            params, token, caches, cfg, qcfg, pos, mode="decode",
+            impl=impl, ingest="window")
+        return caches
 
-    def _rewind(self, who: str, new_caches, old_caches, tokens_fed,
-                N0: int, N1: int, N2: int, via_decode: bool):
-        """Return caches holding exactly N1 committed tokens in
-        prefill-canonical state.  new_caches holds N2 (N1 <= N2) tokens
-        appended from N0 via extend (via_decode=False) or decode
-        appends (True); old_caches is the retained N0 pytree and
-        tokens_fed the (N2 - N0)-long append stream for replay."""
+    # -- host-side boundary discipline ---------------------------------------
+
+    @staticmethod
+    def _wm_init(qcfg, prompt_len: int) -> dict:
+        """Quantized watermarks right after prefill (prefill-canonical:
+        keys flushed at every full W, values vf-aligned)."""
+        if not qcfg.quantize_kv:
+            return {}
+        W, vf = qcfg.residual_length, qcfg.value_flush
+        return {"nkq": _nkq_prefill(prompt_len, W),
+                "nvq": _nvq(prompt_len, W, vf)}
+
+    def _sync_boundary(self, who: str, caches, wm: dict, N: int):
+        """Eager boundary flushes (exactly when sequential decode would
+        flush: a window holding W committed tokens at step start), then
+        the window headroom that bounds this iteration's block."""
         eng = self.target if who == "target" else self.draft
-        if not eng.qcfg.quantize_kv:
-            if N1 == N2:
-                return new_caches
-            return [dataclasses.replace(c, length=jnp.int32(N1))
-                    for c in new_caches]
-        W, vf = eng.qcfg.residual_length, eng.qcfg.value_flush
-        nkq_cur = (_nkq_decode(N2, W) if via_decode
-                   else _nkq_prefill(N2, W))
-        nvq_cur = _nvq(N2, W, vf)
-        nkq_want, nvq_want = _nkq_prefill(N1, W), _nvq(N1, W, vf)
-        k_ok = nkq_cur == nkq_want or (nkq_cur + W == nkq_want
-                                       and N1 - nkq_cur == W)
-        v_ok = nvq_cur == nvq_want and N1 - nvq_cur <= W
-        self.stats["rewind" if (k_ok and v_ok) else "replay"] += 1
-        if not (k_ok and v_ok):
-            # replay: teacher-forced decode appends of the accepted
-            # tokens from the pre-iteration pytree (counters maintained
-            # by decode_append itself — only the boundary-flush state
-            # below may still need normalizing)
-            new_caches = old_caches
-            for t in range(N1 - N0):
-                tok = jnp.asarray([[int(tokens_fed[t])]], jnp.int32)
-                pos = jnp.full((1, 1), N0 + t, jnp.int32)
-                _, new_caches = self._replay_step[who](
-                    eng.params, tok, pos, new_caches, None)
-            nkq_cur = _nkq_decode(N1, W)
-            nvq_cur = _nvq(N1, W, vf)
-        elif N1 != N2 or nkq_cur != nkq_want:
-            new_caches = [dataclasses.replace(
-                c, n_k_win=jnp.int32(N1 - nkq_cur),
-                n_v_win=jnp.int32(N1 - nvq_cur)) for c in new_caches]
-        if nkq_cur != _nkq_prefill(N1, W):
-            # rewind landed on a key-block boundary with the window
-            # full-but-unflushed: flush to prefill-canonical
-            self.stats["boundary_flush"] += 1
-            new_caches = self._flush_k[who](new_caches)
-        return new_caches
+        q = eng.qcfg
+        if not q.quantize_kv:
+            return caches, eng.max_seq_len - N
+        W, vf = q.residual_length, q.value_flush
+        if N - wm["nkq"] == W:
+            caches = self._flush_k[who](caches)
+            wm["nkq"] += W
+            self.stats["boundary_flush_k"] += 1
+        if N - wm["nvq"] == W:
+            caches = self._flush_v[who](caches)
+            wm["nvq"] += vf
+            self.stats["boundary_flush_v"] += 1
+        return caches, W - max(N - wm["nkq"], N - wm["nvq"])
 
     # -- generation loop ----------------------------------------------------
 
@@ -320,65 +322,70 @@ class SpeculativeEngine:
         count, last = 1, cur
         yield np.asarray([cur], np.int32)       # time-to-first-token
         N = Tp                       # committed tokens in BOTH caches
+        t_wm = self._wm_init(tgt.qcfg, Tp)
+        d_wm = self._wm_init(drf.qcfg, Tp)
         self.last_acceptance = []
+        self.last_keff = []          # per-iteration clamped depth
         while count < max_new_tokens and (eos_token_id is None
                                           or last != eos_token_id):
+            # 0) eager boundary flushes + block clamp (see module doc)
+            t_caches, cap_t = self._sync_boundary("target", t_caches,
+                                                  t_wm, N)
+            d_caches, cap_d = self._sync_boundary("draft", d_caches,
+                                                  d_wm, N)
+            keff = min(k, cap_t - 1, cap_d - 1)
+            self.last_keff.append(keff)
+            if keff < k:
+                self.stats["clamped"] += 1
             cur_dev = jnp.asarray([[cur]], jnp.int32)
             pos = jnp.full((1, 1), N, jnp.int32)
-            d_old, t_old = d_caches, t_caches
-            # 1) draft proposes k tokens in one scan
+            # 1) draft proposes k tokens in one scan (always k — one
+            # compilation; proposals beyond keff are simply not used)
             if sampled:
                 rng, sub = jax.random.split(rng)
                 d_toks, q_probs, d_caches = self._draft_sample_scan(
                     drf.params, cur_dev, pos, d_caches, sub, steps=k,
-                    temperature=temperature, top_k=top_k, top_p=top_p,
-                    prompt_len=canonical_phase(drf.qcfg, N))
+                    temperature=temperature, top_k=top_k, top_p=top_p)
                 q_probs = np.asarray(q_probs[0], np.float64)  # (k, V)
             else:
                 d_toks, d_caches = self._draft_scan(
-                    drf.params, cur_dev, pos, d_caches, rng, None, None,
-                    steps=k, prompt_len=canonical_phase(drf.qcfg, N))
+                    drf.params, cur_dev, pos, d_caches, steps=k)
             d_toks = np.asarray(d_toks[0])
             # 2) target scores [cur] + draft tokens in one extend
             v_in = jnp.concatenate(
                 [cur_dev, jnp.asarray(d_toks[None, :], jnp.int32)], axis=1)
             t_logits, t_caches = self._verify(
-                tgt.params, v_in, jnp.full((), N, jnp.int32), t_caches,
-                prev_len=canonical_phase(tgt.qcfg, N))
-            # 3) accepted prefix + corrected/bonus token
+                tgt.params, v_in, jnp.full((), N, jnp.int32), t_caches)
+            # 3) accepted prefix + corrected/bonus token, depth <= keff
             if sampled:
                 p_probs = np.asarray(jax.nn.softmax(
                     sampling.warp_logits(t_logits[0],
                                          temperature=temperature,
                                          top_k=top_k, top_p=top_p),
                     axis=-1), np.float64)                     # (k+1, V)
-                emitted = spec_accept(p_probs, q_probs, d_toks,
-                                      host_rng.random(k), host_rng)
+                emitted = spec_accept(p_probs[:keff + 1],
+                                      q_probs[:keff], d_toks[:keff],
+                                      host_rng.random(keff), host_rng)
                 j = len(emitted) - 1
             else:
                 t_pred = np.asarray(jnp.argmax(t_logits, -1)[0])  # (k+1,)
-                j = int(np.argmax(t_pred[:k] != d_toks)) \
-                    if (t_pred[:k] != d_toks).any() else k
+                mism = t_pred[:keff] != d_toks[:keff]
+                j = int(np.argmax(mism)) if mism.any() else keff
                 emitted = [int(t) for t in d_toks[:j]] + [int(t_pred[j])]
             self.last_acceptance.append(j)
-            # 4) rewind both caches to the N + j + 1 committed tokens
-            fed = [cur] + [int(t) for t in d_toks]
-            t_caches = self._rewind("target", t_caches, t_old, fed,
-                                    N, N + j + 1, N + k + 1,
-                                    via_decode=False)
+            # 4) commit: the capped window appends already hold every
+            # accepted token; rejection is a pure counter rollback
             if j == k:
-                # full accept: the scan emitted d_toks[k-1] but never
-                # fed it back — append it so the draft holds all k+1
-                _, d_caches = self._replay_step["draft"](
+                # full accept at unclamped depth: the scan emitted
+                # d_toks[k-1] but never fed it back — append it so the
+                # draft holds all k+1 committed tokens
+                d_caches = self._draft_bonus(
                     drf.params, jnp.asarray([[int(d_toks[k - 1])]],
                                             jnp.int32),
-                    jnp.full((1, 1), N + k, jnp.int32), d_caches, None)
-                d2 = N + k + 1
-            else:
-                d2 = N + k
-            d_caches = self._rewind("draft", d_caches, d_old, fed,
-                                    N, N + j + 1, d2, via_decode=True)
+                    jnp.full((1, 1), N + k, jnp.int32), d_caches)
             N += j + 1
+            t_caches = self._rollback(t_caches, N)
+            d_caches = self._rollback(d_caches, N)
             cur = emitted[-1]
             # trim the visible block: max_new_tokens cap, cut past EOS
             block = emitted[:max_new_tokens - count]

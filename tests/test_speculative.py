@@ -3,8 +3,9 @@
 The contract under test: greedy speculative output is TOKEN-EQUAL to
 the target engine's own greedy generate(), for any draft — a perfect
 draft (same weights), a different/worse draft, an fp16-cache draft —
-and across quantization flush boundaries, where the cache rewind has
-to choose between counter rollback, replay, and the boundary K-flush.
+and across quantization flush boundaries, where the boundary
+discipline (eager flush + block clamp + window-only ingest with
+counter rollback) must keep the block's sequential twin flush-free.
 
 Engines are constructed once and shared across tests (functools caches)
 — each Engine owns fresh jit wrappers, so per-test construction would
@@ -59,11 +60,30 @@ def _want(seed, gen, n=20):
 
 
 def test_perfect_draft_accepts_everything():
-    """Draft == target: every proposal accepted, output token-equal."""
+    """Draft == target: every proposal accepted up to the per-iteration
+    boundary clamp (j == keff everywhere), output token-equal."""
     spec = _spec()                      # draft IS the target engine
     got = spec.generate(_prompt(0), 21)
     np.testing.assert_array_equal(got, _want(0, 21))
-    assert all(j == 4 for j in spec.last_acceptance[:-1])
+    assert all(j == ke for j, ke in
+               zip(spec.last_acceptance, spec.last_keff))
+    assert max(spec.last_acceptance) == 4   # full depth away from edges
+
+
+def test_perfect_draft_exact_across_boundaries():
+    """The round-4 regression: a PERFECT draft at k=5 used to diverge
+    from target greedy at flush crossings (the width-(k+1) verify
+    attends block-start cache state, sequential decode attends
+    mid-block flushed state).  The boundary clamp must keep the stream
+    exact over many W=32 / vf=32 crossings, and must actually fire."""
+    spec = _spec(k=5)                   # draft IS the target engine
+    got = spec.generate(_prompt(2, n=25), 60)
+    want = np.asarray(_eng().generate(_prompt(2, n=25), 60))
+    np.testing.assert_array_equal(got, want)
+    assert spec.stats["clamped"] > 0
+    assert spec.stats["boundary_flush_k"] > 0
+    assert all(j == ke for j, ke in
+               zip(spec.last_acceptance, spec.last_keff))
 
 
 def test_mismatched_draft_still_exact():
@@ -76,13 +96,15 @@ def test_mismatched_draft_still_exact():
 @pytest.mark.parametrize("k", [3, 5])
 def test_exact_across_flush_boundaries(k):
     """Long generation (60 tokens) over W=32 caches crosses several K
-    and V flush boundaries at varying phases: every rewind path (counter
-    rollback, boundary flush, replay) must preserve token equality."""
+    and V flush boundaries at varying phases: eager boundary flushes,
+    block clamps and counter rollbacks must all preserve token
+    equality with a mismatched draft (partial/zero acceptance)."""
     spec = _spec(small=True, seed=3, k=k)
     got = spec.generate(_prompt(2, n=25), 60)
     want = np.asarray(_eng().generate(_prompt(2, n=25), 60))
     np.testing.assert_array_equal(got, want)
-    assert spec.stats["rewind"] + spec.stats["replay"] > 0
+    assert spec.stats["boundary_flush_k"] > 0
+    assert spec.stats["boundary_flush_v"] > 0
 
 
 def test_fp16_draft_cache():

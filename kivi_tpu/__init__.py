@@ -26,6 +26,8 @@ _LAZY = {
     "ServingAPI": ("kivi_tpu.serving.api", "ServingAPI"),
     "SpeculativeEngine": ("kivi_tpu.serving.speculative",
                           "SpeculativeEngine"),
+    "SpeculativeBatcher": ("kivi_tpu.serving.spec_batcher",
+                           "SpeculativeBatcher"),
     "PrefixCache": ("kivi_tpu.serving.prefix_cache", "PrefixCache"),
 }
 

@@ -1,0 +1,314 @@
+"""Batched speculative decoding over continuous-batching slots.
+
+Composes the two beyond-reference serving features: every iteration,
+ALL active slots draft k tokens in one batched scan and verify them in
+one batched width-(k+1) extend — acceptance, positions, window phases
+and flush boundaries all diverge per slot.  Per-slot greedy output is
+TOKEN-EQUAL to the plain batcher's (hence the engine's) greedy stream
+for any draft model.
+
+This is the payoff of the round-4 speculative redesign
+(serving/speculative.py): the boundary discipline's three pieces are
+all slot-divergence-friendly where the old rewind/replay machinery was
+not (replay was a data-dependent per-slot host loop — unbatchable):
+
+  * eager boundary flushes ride `flush_k_masked`/`flush_v_masked`
+    under `jax.vmap` — slice-sized selected writes keyed on each
+    slot's own `n_win == W`, dispatched every iteration;
+  * the block clamp `keff_s = min(k, cap_k-1, cap_v-1)` is O(1) host
+    arithmetic per slot from host-mirrored watermarks (exact: the
+    masked flushes implement the same rule the mirror simulates);
+  * window-only ingest (`ingest="window"`) makes per-slot rejection a
+    VECTORIZED counter rollback — one elementwise (S,) counter
+    replace, no per-slot control flow.
+
+The draft scan runs k+1 steps (not k): the extra step appends the
+final proposal's K/V, so a full-depth accept needs no separate bonus
+dispatch — the rollback simply keeps it.  Per iteration the device
+work is exactly four fixed-shape dispatches (masked flushes, draft
+scan, verify, rollback) regardless of S, k, acceptance, or phase.
+
+Greedy-only (speculative sampling needs per-slot accept-reject over
+full probability rows — (S, k, V) host traffic; the B=1 engine's
+sampled mode covers that play).  No repetition penalty, prefixes, or
+chunked admission (plain bucketed prefill).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kivi_tpu.cache.fp_cache import FpLayerCache
+from kivi_tpu.cache import kivi_cache as KC
+from kivi_tpu.config import ModelConfig, QuantConfig
+from kivi_tpu.models import modeling
+from kivi_tpu.serving.batcher import ContinuousBatcher, Request
+from kivi_tpu.serving.engine import (nkq_prefill as _nkq_prefill,
+                                     nvq_canonical as _nvq)
+
+
+class SpeculativeBatcher(ContinuousBatcher):
+    """ContinuousBatcher whose decode step is a speculative iteration.
+
+    dcfg/dqcfg/dparams: the draft model (cheaper — fewer layers, or the
+    same weights at lower KV bits; correctness never depends on it).
+    k: speculation depth.  Emits 1..k+1 tokens per slot per step().
+    """
+
+    def __init__(self, cfg: ModelConfig, qcfg: QuantConfig, params,
+                 dcfg: ModelConfig, dqcfg: QuantConfig, dparams,
+                 num_slots: int, max_seq_len: int, k: int = 4,
+                 impl: str = "jnp",
+                 prompt_buckets=(128, 256, 512, 1024, 2048, 4096)):
+        super().__init__(cfg, qcfg, params, num_slots, max_seq_len,
+                         impl=impl, prompt_buckets=prompt_buckets)
+        if dcfg.vocab_size != cfg.vocab_size:
+            raise ValueError("target and draft must share a vocabulary")
+        self.dcfg, self.dqcfg, self.dparams, self.k = dcfg, dqcfg, dparams, k
+
+        one = lambda: modeling.init_caches(dcfg, dqcfg, 1, max_seq_len)
+        shapes = jax.eval_shape(one)
+        self.d_caches = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((num_slots, *s.shape), s.dtype), shapes)
+
+        # host-mirrored per-slot committed counts + quantized watermarks
+        # (exact: the masked flushes below apply the same n_win == W
+        # rule this mirror simulates)
+        S = num_slots
+        self.n_cache = np.zeros(S, np.int64)      # committed cache tokens
+        self.wm = {m: {"nkq": np.zeros(S, np.int64),
+                       "nvq": np.zeros(S, np.int64)}
+                   for m in ("target", "draft")}
+
+        self._d_prefills: Dict[int, object] = {}
+        self._flush_t = self._make_flush(qcfg, impl)
+        self._flush_d = self._make_flush(dqcfg, impl)
+        self._spec_draft = jax.jit(functools.partial(
+            self._spec_draft_fn, cfg=dcfg, qcfg=dqcfg, impl=impl,
+            steps=k + 1), donate_argnums=(3,))
+        self._spec_verify = jax.jit(functools.partial(
+            self._spec_verify_fn, cfg=cfg, qcfg=qcfg, impl=impl),
+            donate_argnums=(3,))
+        self._rollback = jax.jit(self._rollback_fn, donate_argnums=(0,))
+        self.stats = {"iterations": 0, "accepted": 0, "clamped": 0}
+
+    # -- jitted bodies ------------------------------------------------------
+
+    @staticmethod
+    def _make_flush(qcfg: QuantConfig, impl: str):
+        """Eager boundary flushes for every slot in one dispatch: each
+        slot flushes iff it is active AND its window is exactly full —
+        the same moment sequential decode would flush."""
+        if not qcfg.quantize_kv:
+            return None
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fn(caches, active):
+            def one(caches1, act1):
+                out = []
+                for c in caches1:
+                    c = KC.flush_k_masked(c, qcfg, impl, pred=act1)
+                    out.append(KC.flush_v_masked(c, qcfg, impl,
+                                                 pred=act1))
+                return out
+            return jax.vmap(one)(caches, active)
+
+        return fn
+
+    @staticmethod
+    def _spec_draft_fn(params, tok, pos, caches, active, pads, *, cfg,
+                       qcfg, impl, steps: int):
+        """Batched draft scan: k+1 greedy steps per slot, window-only
+        ingest (the (k+1)-th step exists to append the final proposal's
+        K/V — its own output is discarded).  Returns (S, k+1) proposals
+        and the caches."""
+        def one(tok1, pos1, cache1, act1, pad1):
+            # tok1/pos1 (1,) — the slot's row under vmap
+            def body(carry, _):
+                t, p, c = carry
+                logits, c = modeling.forward(
+                    params, t[:, None], c, cfg, qcfg, p[:, None],
+                    mode="decode", impl=impl, pad_len=pad1[None],
+                    active=act1, ingest="window")
+                nxt = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)
+                return (nxt, p + 1, c), nxt[0]
+
+            (t, p, c), toks = jax.lax.scan(
+                body, (tok1, pos1, cache1), None, length=steps)
+            return toks, c
+
+        return jax.vmap(one)(tok, pos, caches, active, pads)
+
+    @staticmethod
+    def _spec_verify_fn(params, vin, pos0, caches, active, pads, *, cfg,
+                        qcfg, impl):
+        """Batched width-(k+1) verify: greedy predictions at every
+        position (argmax on device — host never sees logits), window-
+        only capped ingest.  Returns (S, k+1) i32 and the caches."""
+        def one(vin1, pos01, cache1, act1, pad1):
+            T1 = vin1.shape[0]
+            positions = (pos01 + jnp.arange(T1, dtype=jnp.int32))[None]
+            logits, cache1 = modeling.forward(
+                params, vin1[None], cache1, cfg, qcfg, positions,
+                mode="extend", impl=impl, last_only=False,
+                pad_len=pad1[None], active=act1, ingest="window")
+            return jnp.argmax(logits[0], -1).astype(jnp.int32), cache1
+
+        return jax.vmap(one)(vin, pos0, caches, active, pads)
+
+    @staticmethod
+    def _rollback_fn(caches, n):
+        """Vectorized counter rollback: every slot's committed count set
+        to n[s] (valid because window-only ingest never moved a
+        quantized watermark).  n: (S,) i32."""
+        n = jnp.asarray(n, jnp.int32)
+        out = []
+        for c in caches:
+            if isinstance(c, FpLayerCache):
+                out.append(dataclasses.replace(c, length=n))
+            else:
+                out.append(dataclasses.replace(
+                    c, n_k_win=n - c.n_k_quant, n_v_win=n - c.n_v_quant))
+        return out
+
+    # -- host-side ----------------------------------------------------------
+
+    def submit(self, req: Request):
+        if req.temperature > 0 or req.repetition_penalty != 1.0:
+            raise ValueError("SpeculativeBatcher is greedy-only "
+                             "(no temperature / repetition penalty)")
+        if req.prefix_tokens is not None:
+            raise ValueError("SpeculativeBatcher does not take prefixes")
+        super().submit(req)
+
+    def _make_draft_prefill(self, bucket: int):
+        cfg, qcfg, impl = self.dcfg, self.dqcfg, self.impl
+
+        def fn(params, tokens, cache, pad):
+            B, T = tokens.shape
+            positions = jnp.maximum(
+                jnp.arange(T, dtype=jnp.int32)[None, :] - pad[:, None], 0)
+            _, cache = modeling.forward(
+                params, tokens, cache, cfg, qcfg, positions,
+                mode="prefill", impl=impl, last_only=True, pad_len=pad)
+            return cache
+
+        return jax.jit(fn)
+
+    def _wm_reset(self, slot: int, T0: int):
+        self.n_cache[slot] = T0
+        for m, q in (("target", self.qcfg), ("draft", self.dqcfg)):
+            if q.quantize_kv:
+                W, vf = q.residual_length, q.value_flush
+                self.wm[m]["nkq"][slot] = _nkq_prefill(T0, W)
+                self.wm[m]["nvq"][slot] = _nvq(T0, W, vf)
+
+    def _admit(self):
+        """Base bucketed admission for the target, then mirror each
+        newly admitted slot into the draft caches + watermarks."""
+        prev = self.active.copy()
+        super()._admit()
+        for s in np.flatnonzero(self.active & ~prev):
+            req = self.slot_req[s]
+            bucket = self._bucket_for(len(req.prompt))
+            pad = bucket - len(req.prompt)
+            toks = jnp.asarray([[0] * pad + list(req.prompt)], jnp.int32)
+            if bucket not in self._d_prefills:
+                self._d_prefills[bucket] = self._make_draft_prefill(bucket)
+            cache1 = jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape[1:], a.dtype), self.d_caches)
+            cache1 = self._d_prefills[bucket](
+                self.dparams, toks, cache1, jnp.asarray([pad], jnp.int32))
+            self.d_caches = jax.tree_util.tree_map(
+                lambda big, one: jax.lax.dynamic_update_index_in_dim(
+                    big, one, int(s), 0), self.d_caches, cache1)
+            self._wm_reset(int(s), bucket)
+
+    def _caps(self, who: str, qcfg: QuantConfig) -> np.ndarray:
+        """Per-slot post-flush window headroom, updating the host
+        watermark mirror by the same n_win == W rule the device flush
+        applies."""
+        S = self.S
+        if not qcfg.quantize_kv:
+            return np.full(S, self.T, np.int64) - self.n_cache
+        W, vf = qcfg.residual_length, qcfg.value_flush
+        wm = self.wm[who]
+        act = self.active
+        fk = act & (self.n_cache - wm["nkq"] == W)
+        wm["nkq"][fk] += W
+        fv = act & (self.n_cache - wm["nvq"] == W)
+        wm["nvq"][fv] += vf
+        return W - np.maximum(self.n_cache - wm["nkq"],
+                              self.n_cache - wm["nvq"])
+
+    def step(self):
+        """Admit, run one speculative iteration (4 fixed-shape
+        dispatches), harvest each slot's accepted block."""
+        self._retire()
+        self._admit()
+        if not self.active.any():
+            return
+        k = self.k
+        # 1) eager boundary flushes (device: n_win == W per slot) +
+        #    host watermark mirror + per-slot block clamp
+        if self._flush_t is not None:
+            self.caches = self._flush_t(self.caches, self.act_dev)
+        if self._flush_d is not None:
+            self.d_caches = self._flush_d(self.d_caches, self.act_dev)
+        cap_t = self._caps("target", self.qcfg)
+        cap_d = self._caps("draft", self.dqcfg)
+        keff = np.minimum(k, np.minimum(cap_t, cap_d) - 1)
+        # 2) draft proposals: one batched (k+1)-step scan
+        d_toks, self.d_caches = self._spec_draft(
+            self.dparams, self.cur_tok, self.pos, self.d_caches,
+            self.act_dev, self.pad_dev)
+        d = np.asarray(d_toks)[:, :k]                        # (S, k)
+        # 3) target verify: one batched width-(k+1) extend
+        vin = jnp.concatenate(
+            [self.cur_tok, jnp.asarray(d, jnp.int32)], axis=1)
+        t_pred, self.caches = self._spec_verify(
+            self.params, vin, self.pos[:, 0], self.caches,
+            self.act_dev, self.pad_dev)
+        tp = np.asarray(t_pred)                              # (S, k+1)
+        # 4) per-slot accept + vectorized counter rollback
+        n_new = self.n_cache.copy()
+        cur = np.asarray(self.cur_tok[:, 0]).copy()
+        pos_add = np.zeros(self.S, np.int64)
+        blocks: List[List[int]] = [[] for _ in range(self.S)]
+        for s in np.flatnonzero(self.active):
+            ke = int(keff[s])
+            mism = tp[s, :ke] != d[s, :ke]
+            j = int(np.argmax(mism)) if mism.any() else ke
+            blocks[s] = [int(t) for t in d[s, :j]] + [int(tp[s, j])]
+            n_new[s] += j + 1
+            pos_add[s] = j + 1
+            cur[s] = blocks[s][-1]
+            self.stats["accepted"] += j
+            if ke < k:
+                self.stats["clamped"] += 1
+        self.stats["iterations"] += 1
+        self.caches = self._rollback(self.caches, n_new)
+        self.d_caches = self._rollback(self.d_caches, n_new)
+        self.n_cache = n_new
+        self.cur_tok = jnp.asarray(cur[:, None], jnp.int32)
+        self.pos = self.pos + jnp.asarray(pos_add[:, None], jnp.int32)
+        # 5) harvest: cap at max_new_tokens, cut past EOS
+        for s in np.flatnonzero(self.active):
+            req = self.slot_req[s]
+            if req is None:
+                continue
+            out = self.slot_out[s]
+            block = blocks[s][:req.max_new_tokens - len(out)]
+            if (req.eos_token_id is not None
+                    and req.eos_token_id in block):
+                block = block[:block.index(req.eos_token_id) + 1]
+            out.extend(block)
+            if req.on_token is not None:
+                for t in block:
+                    req.on_token(t)

@@ -145,13 +145,17 @@ def fp_extend_attention(q: jax.Array, k_new: jax.Array, v_new: jax.Array,
 def fp_decode_attention(q: jax.Array, cache: FpLayerCache,
                         sliding_window: Optional[int] = None,
                         impl: str = "jnp",
-                        pad_len: Optional[jax.Array] = None) -> jax.Array:
+                        pad_len: Optional[jax.Array] = None,
+                        fill_bound: Optional[int] = None) -> jax.Array:
     """Exact single-token decode attention over the fp cache.
 
     q: (B, Hq, 1, D) -> (B, Hq, 1, D) f32.  impl="pallas" uses the fused
     flash-decode kernel (kernels/fp_decode.py) — one pass over the cache,
     no logit tensor in HBM, no XLA cache relayouts.  pad_len: optional
     (B,) i32 left-padding per row (positions < pad_len[b] masked).
+    fill_bound: optional STATIC upper bound on cache.length for every
+    call under this compilation — bounds the kernel's block grid (see
+    fp_decode_attention_kernel t_bound).
     """
     B, Hq, M, D = q.shape
     Hkv = cache.k.shape[1]
@@ -162,7 +166,8 @@ def fp_decode_attention(q: jax.Array, cache: FpLayerCache,
         from kivi_tpu.kernels.fp_decode import fp_decode_attention_kernel
         out = fp_decode_attention_kernel(
             qg, cache.k, cache.v, cache.length,
-            sliding_window=sliding_window, pad_len=pad_len)
+            sliding_window=sliding_window, pad_len=pad_len,
+            t_bound=fill_bound)
         return out.reshape(B, Hq, M, D)
     att = jnp.einsum("bhrd,bhdt->bhrt", qg.astype(jnp.bfloat16),
                      cache.k).astype(jnp.float32)

@@ -44,7 +44,8 @@ def _lane_iota(n: int) -> jax.Array:
 def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
                      *, impl: str = "jnp",
                      sliding_window: Optional[int] = None,
-                     pad_len: Optional[jax.Array] = None) -> jax.Array:
+                     pad_len: Optional[jax.Array] = None,
+                     fill_bound: Optional[int] = None) -> jax.Array:
     """Single-token decode attention.
 
     q: (B, Hq, 1, D) post-RoPE queries for the token just appended to the
@@ -55,6 +56,15 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
     mask through every forward, `models/llama_kivi.py:710-717`; here
     left-padding reduces to a per-row lower position bound since pad
     slots sit at positions [0, pad_len)).
+
+    fill_bound: optional STATIC upper bound on cache.seq_len, valid for
+    EVERY call under this compilation (the engine passes
+    prompt_len + steps for a decode scan).  Rounded up to the kernel
+    chunk and forwarded as the wide kernel's t_bound: the chunk grid
+    then stops at the bound instead of sweeping all Tmax//C steps —
+    dead steps are DMA-elided but still cost dispatch (~28% of the
+    kernel at serving fills).  A wrong bound silently truncates
+    attention; only pass values derived from static schedule facts.
     """
     B, Hq, M, D = q.shape
     assert M == 1, "decode_attention is single-token; use prefill_attention"
@@ -100,12 +110,20 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
                                       group_size=qcfg.group_size, r=r)):
         from kivi_tpu.kernels.fused_decode_wide import (
             fused_decode_attention_wide)
+        tb = None
+        if fill_bound is not None and fill_bound + chunk <= Tmax:
+            # one spare chunk of slack: covers the strip spilling past
+            # the last live chunk, and measured FASTER than the exact
+            # bound (the elided spare step lets the window phase's
+            # pinned DMA prefetch; docs/artifacts probe_serving_fill)
+            tb = -((fill_bound + chunk) // -chunk) * chunk
         out = fused_decode_attention_wide(
             q.reshape(B, Hkv, r, D), cache.k_codes, cache.k_scale,
             cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
             cache.k_win, cache.v_win, cache.n_k_quant, cache.n_k_win,
             cache.n_v_quant, group_size=qcfg.group_size, chunk=chunk,
-            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, pad_len=lo)
+            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, pad_len=lo,
+            t_bound=tb)
         return out.reshape(B, Hq, 1, D)
     if (impl == "pallas" and W % 128 == 0
             and qcfg.k_bits in (2, 4) and qcfg.v_bits in (2, 4)):

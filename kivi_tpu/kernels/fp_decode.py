@@ -78,20 +78,30 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("blk_t", "sliding_window"))
+                   static_argnames=("blk_t", "sliding_window", "t_bound"))
 def fp_decode_attention_kernel(q, k, v, length, *, blk_t: int = 1024,
-                               sliding_window=None, pad_len=None):
+                               sliding_window=None, pad_len=None,
+                               t_bound=None):
     """q (B,Hkv,r,D); k (B,H,D,T) transposed; v (B,H,T,D); length i32.
 
     Returns (B, Hkv, r, D) f32.  pad_len: optional (B,) i32 left-padding
     per batch row; positions < pad_len[b] are masked and fully-padded
     front blocks skip compute and DMA.
+
+    t_bound: optional STATIC upper bound on `length` for every call
+    under this compilation — the block grid stops there instead of
+    sweeping all T//blk_t steps (dead blocks are DMA-elided but still
+    dispatched).  Mirrors the KIVI wide kernel's t_bound so the two
+    bench engines stay symmetric.
     """
     B, H, r, D = q.shape
     T = k.shape[-1]
     BH = B * H
     blk_t = min(blk_t, T)
     assert T % blk_t == 0
+    ntb = (T if t_bound is None
+           else -(min(t_bound, T) // -blk_t) * blk_t) // blk_t
+    assert 1 <= ntb <= T // blk_t
     lo = (jnp.zeros((B,), jnp.int32) if pad_len is None
           else jnp.asarray(pad_len, jnp.int32).reshape(B))
     length = jnp.concatenate([
@@ -115,7 +125,7 @@ def fp_decode_attention_kernel(q, k, v, length, *, blk_t: int = 1024,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(BH, T // blk_t),
+        grid=(BH, ntb),
         in_specs=[
             pl.BlockSpec((1, r, D), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),

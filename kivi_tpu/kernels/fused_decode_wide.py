@@ -68,14 +68,17 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             m_scr, l_scr, acc_scr, stT_scr, vals_scr, qnat_scr, qzp_scr,
             pwin_scr, maskv_scr, pfold_scr, p_scr, *,
             k_bits: int, v_bits: int, gs: int, C: int, W: int, r: int,
-            T: int, sm_scale: float, cdt):
+            T: int, nt: int, sm_scale: float, cdt):
+    # nt: number of CHUNK grid steps — T//C for a full sweep, fewer
+    # under a static live-fill bound (t_bound): the arrays keep their
+    # full T blocks, the grid just never visits chunks the caller
+    # guarantees are beyond every counter.
     nkq = cnt_ref[0]
     nkw = cnt_ref[1]
     nvq = cnt_ref[2]
     lo = cnt_ref[3 + pl.program_id(0)]   # row's left-pad lower bound
     t_total = nkq + nkw
     it = pl.program_id(1)
-    nt = T // C
     Hkv = kw_ref.shape[1]            # the folded head-group size
     HR, D = q_ref.shape[1], q_ref.shape[2]
     HD = Hkv * D
@@ -464,14 +467,15 @@ def default_head_fold(Hkv: int, r: int, D: int, Tg: int,
 
 @functools.partial(
     jax.jit, static_argnames=("group_size", "k_bits", "v_bits", "chunk",
-                              "compute_dtype", "head_fold"))
+                              "compute_dtype", "head_fold", "t_bound"))
 def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
                                 v_scale, v_mn, k_win, v_win, n_k_quant,
                                 n_k_win, n_v_quant, *, group_size: int,
                                 k_bits: int, v_bits: int, chunk: int = 512,
                                 compute_dtype=jnp.bfloat16,
                                 head_fold: int | None = None,
-                                pad_len=None):
+                                pad_len=None,
+                                t_bound: int | None = None):
     """qg (B,Hkv,r,D) + KiviLayerCache arrays -> (B,Hkv,r,D) f32.
 
     head_fold (Hg): KV heads folded into one program (must divide Hkv).
@@ -479,6 +483,19 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
     pad_len: optional (B,) i32 left-padding per batch row — positions
     < pad_len[b] are masked, fully-padded chunks skip compute AND DMA
     (their block index clamps forward to the first live block).
+
+    t_bound: optional STATIC live-fill upper bound (multiple of C,
+    <= T): the grid runs t_bound//C chunk steps instead of T//C —
+    arrays keep their full T-block layout (so the superblock geometry
+    and all index maps are unchanged), the grid simply never visits
+    trailing chunks.  CALLER CONTRACT: every counter must satisfy
+    n_k_quant <= t_bound AND n_v_quant + W <= t_bound for every call
+    under this compilation (the engine derives it from
+    prompt_len + steps); violating it silently truncates attention.
+    Dead grid steps are DMA-elided but still dispatched — at serving
+    fills (~1/3 of a 4K cache) they cost ~28% of the kernel
+    (docs/artifacts: probe_serving_fill), which is what this bound
+    removes.
     """
     B, Hkv, r, D = qg.shape
     T = k_codes.shape[-1]
@@ -490,7 +507,9 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
     assert T % C == 0 and C % gs == 0 and W % 128 == 0 and C % W == 0
     KDw, VDw = k_codes.shape[2], v_codes.shape[2]
     Dg, Tg = D // gs, T // gs
-    nt = T // C
+    nt = T // C                       # ARRAY chunk-block count
+    ntb = nt if t_bound is None else min(t_bound, T) // C
+    assert 1 <= ntb <= nt and (t_bound is None or t_bound % C == 0)
     Hg = head_fold if head_fold is not None else default_head_fold(
         Hkv, r, D, Tg)
     assert Hkv % Hg == 0
@@ -507,7 +526,7 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
 
     kernel = functools.partial(
         _kernel, k_bits=k_bits, v_bits=v_bits, gs=gs, C=C, W=W, r=r, T=T,
-        sm_scale=1.0 / (D ** 0.5), cdt=compute_dtype)
+        nt=ntb, sm_scale=1.0 / (D ** 0.5), cdt=compute_dtype)
     full = lambda i, t, *_: (i, 0, 0)
     full4 = lambda i, t, *_: (i // ng, i % ng, 0, 0)
     # Dead chunks clamp to the last live block (tail) / first live block
@@ -535,7 +554,7 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B * ng, nt + 1),
+        grid=(B * ng, ntb + 1),
         in_specs=[
             pl.BlockSpec((1, HR, D), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hg, KDw, C), chunk4, memory_space=pltpu.VMEM),

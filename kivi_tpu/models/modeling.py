@@ -113,8 +113,9 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                      qcfg: QuantConfig, positions, *, mode: str,
                      impl: str, flush: bool = True, pad_len=None,
                      active=None, prev_len: int = 0, seq_mesh=None,
-                     prev_pos=None,
-                     ingest: str = "quant") -> Tuple[jax.Array, LayerCache]:
+                     prev_pos=None, ingest: str = "quant",
+                     fill_bound: Optional[int] = None,
+                     ) -> Tuple[jax.Array, LayerCache]:
     """mode: 'prefill' (T tokens, cache must be empty), 'decode' (T==1),
     or 'extend' (T suffix tokens onto a cache holding prev_len — STATIC —
     tokens: chunked prefill / prefix caching).
@@ -233,7 +234,8 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                      if active is not None else fp_append(cache, k, v))
             out = fp_decode_attention(q, cache,
                                       sliding_window=cfg.sliding_window,
-                                      impl=impl, pad_len=pad_len)
+                                      impl=impl, pad_len=pad_len,
+                                      fill_bound=fill_bound)
         else:
             if ingest == "window":
                 cache = KC.window_append_capped(cache, k, v,
@@ -248,7 +250,8 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
                                          do_flush=flush)
             out = decode_attention(q, cache, qcfg, impl=impl,
                                    sliding_window=cfg.sliding_window,
-                                   pad_len=pad_len)
+                                   pad_len=pad_len,
+                                   fill_bound=fill_bound)
 
     out = out.transpose(0, 2, 1, 3).reshape(B, T, Hq * D).astype(x.dtype)
     return out @ lp["wo"], cache
@@ -256,12 +259,13 @@ def _attention_block(x, lp, cache: LayerCache, cfg: ModelConfig,
 
 def _decoder_layer(x, lp, cache, cfg, qcfg, positions, *, mode, impl,
                    flush=True, pad_len=None, active=None, prev_len=0,
-                   seq_mesh=None, prev_pos=None, ingest="quant"):
+                   seq_mesh=None, prev_pos=None, ingest="quant",
+                   fill_bound=None):
     h, cache = _attention_block(
         rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps), lp, cache, cfg, qcfg,
         positions, mode=mode, impl=impl, flush=flush, pad_len=pad_len,
         active=active, prev_len=prev_len, seq_mesh=seq_mesh,
-        prev_pos=prev_pos, ingest=ingest)
+        prev_pos=prev_pos, ingest=ingest, fill_bound=fill_bound)
     x = x + h
     x = x + swiglu_mlp(rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps),
                        lp["wg"], lp["wu"], lp["wd"])
@@ -281,7 +285,8 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
             active: Optional[jax.Array] = None,
             prev_len: int = 0, seq_mesh=None,
             last_index: Optional[int] = None,
-            prev_pos=None, ingest: str = "quant") -> Tuple[jax.Array, Any]:
+            prev_pos=None, ingest: str = "quant",
+            fill_bound: Optional[int] = None) -> Tuple[jax.Array, Any]:
     """tokens (B, T) i32; positions (B, T) i32 ROPE positions (for
     left-padded rows: cache index minus pad_len, clamped at 0).
 
@@ -316,7 +321,8 @@ def forward(params: dict, tokens: jax.Array, caches, cfg: ModelConfig,
                                       flush=flush, pad_len=pad_len,
                                       active=active, prev_len=prev_len,
                                       seq_mesh=seq_mesh,
-                                      prev_pos=prev_pos, ingest=ingest)
+                                      prev_pos=prev_pos, ingest=ingest,
+                                      fill_bound=fill_bound)
     if last_only:
         # last_index: STATIC slot of the sequence's true last token —
         # under a striped (permuted) layout it is not slot T-1

@@ -165,9 +165,13 @@ class ContinuousBatcher:
         self._extend_chunk = self._make_extend_chunk()
         self._first_token = self._make_first_token()
         self._admit_decode = self._make_admit_decode()
-        self._decode = jax.jit(functools.partial(
-            self._decode_all, cfg=cfg, qcfg=qcfg, impl=impl),
-            donate_argnums=(3,))
+        # decode jits keyed by the 512-bucketed live-fill bound: the
+        # decode kernels' chunk grids stop at the bound instead of
+        # sweeping the whole preallocated cache (~28% of the kernel at
+        # serving fills is dead-step dispatch).  At most T/512 compiles
+        # per process; the bound only ever grows with the fullest slot.
+        self._decode_jits: Dict[int, Callable] = {}
+        self.fill = np.zeros(num_slots, np.int64)  # per-slot cache tokens
 
     # -- jitted bodies ------------------------------------------------------
 
@@ -268,9 +272,19 @@ class ContinuousBatcher:
 
         return fn
 
+    def _decode_for(self, fb: int) -> Callable:
+        jit = self._decode_jits.get(fb)
+        if jit is None:
+            jit = jax.jit(functools.partial(
+                self._decode_all, cfg=self.cfg, qcfg=self.qcfg,
+                impl=self.impl, fill_bound=fb), donate_argnums=(3,))
+            self._decode_jits[fb] = jit
+        return jit
+
     @staticmethod
     def _decode_all(params, tok, pos, caches, active, pads, rng, temps,
-                    topks, topps, pens, seen, *, cfg, qcfg, impl):
+                    topks, topps, pens, seen, *, cfg, qcfg, impl,
+                    fill_bound=None):
         """One decode step for all slots. tok/pos (S,1); active/pads/
         sampling params (S,); seen (S, V) penalty masks; rng one key
         (split per slot inside)."""
@@ -289,7 +303,7 @@ class ContinuousBatcher:
             logits, cache = modeling.forward(
                 params, tok1[None], cache1, cfg, qcfg, pos1[None],
                 mode="decode", impl=impl, pad_len=pad1[None],
-                active=act1)
+                active=act1, fill_bound=fill_bound)
             # the consumed token joins the sequence before the penalty
             # (engine/HF ordering)
             seen1 = seen1.at[tok1[0]].set(True)
@@ -478,6 +492,10 @@ class ContinuousBatcher:
             self.active[slot] = True
             self.slot_req[slot] = req
             self.slot_out[slot] = [int(nxt[0])]
+            # committed cache tokens (pads included): prefix admissions
+            # ingest P + prompt unpadded, bucketed ones the full bucket
+            self.fill[slot] = (P + len(prompt) if prefix is not None
+                               else bucket)
             if req.on_token is not None:
                 req.on_token(self.slot_out[slot][0])
 
@@ -504,13 +522,17 @@ class ContinuousBatcher:
         if not self.active.any():
             return
         self.rng, sub = jax.random.split(self.rng)
-        nxt, self.caches, self.seen_dev = self._decode(
+        # live-fill bound: this step appends one token per active slot
+        fb = int(min(-((int(self.fill[self.active].max()) + 1) // -512)
+                     * 512, self.T))
+        nxt, self.caches, self.seen_dev = self._decode_for(fb)(
             self.params, self.cur_tok, self.pos, self.caches, self.act_dev,
             self.pad_dev, sub, self.temp_dev, self.topk_dev, self.topp_dev,
             self.pen_dev, self.seen_dev)
         nxt_host = np.asarray(nxt)
         self.cur_tok = nxt[:, None]
         self.pos = self.pos + self.act_dev.astype(jnp.int32)[:, None]
+        self.fill[self.active] += 1
         for s in range(self.S):
             if self.active[s] and self.slot_req[s] is not None:
                 tok = int(nxt_host[s])

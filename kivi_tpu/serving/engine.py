@@ -168,7 +168,8 @@ class Engine:
             functools.partial(self._decode_scan_fn, cfg=self.cfg,
                               qcfg=self.qcfg, impl=self.impl),
             static_argnames=("steps", "temperature", "prompt_len",
-                             "top_k", "top_p", "repetition_penalty"),
+                             "top_k", "top_p", "repetition_penalty",
+                             "fill_bound"),
             donate_argnums=(3,))
         self._beam_scan = _jit(
             functools.partial(self._beam_scan_fn, cfg=self.cfg,
@@ -186,7 +187,14 @@ class Engine:
         flush schedule depends only on prompt_len mod lcm(W, v_flush)
         (plus the prompt_len <= W edge), so resuming decode at a later
         position with the same phase reuses the compilation instead of
-        recompiling per call site."""
+        recompiling per call site.
+
+        The TRUE prompt_len also caps the cache fill over the whole
+        scan at prompt_len + steps — passed (rounded up to 512 so the
+        compile key stays coarse) as the decode kernels' static grid
+        bound: at serving fills the chunk sweep over the empty cache
+        tail is ~28% of the kernel."""
+        fb = -((prompt_len + steps) // -512) * 512
         prompt_len = self._canonical_phase(prompt_len)
         return self._decode_scan_jit(params, first_token, first_pos,
                                      caches, rng, pad, seen,
@@ -194,7 +202,8 @@ class Engine:
                                      temperature=temperature,
                                      prompt_len=prompt_len, top_k=top_k,
                                      top_p=top_p,
-                                     repetition_penalty=repetition_penalty)
+                                     repetition_penalty=repetition_penalty,
+                                     fill_bound=fb)
 
     def _canonical_phase(self, prompt_len: int) -> int:
         return canonical_phase(self.qcfg, prompt_len)
@@ -291,7 +300,8 @@ class Engine:
                         *, cfg, qcfg, impl, steps: int,
                         temperature: float = 0.0, prompt_len: int = 0,
                         top_k: int = 0, top_p: float = 1.0,
-                        repetition_penalty: float = 1.0):
+                        repetition_penalty: float = 1.0,
+                        fill_bound=None):
         """Generate `steps` tokens fully on-device.
 
         With a known prompt_len and a KIVI cache, window flushes run
@@ -326,7 +336,7 @@ class Engine:
             logits, caches = modeling.forward(
                 params, token, caches, cfg, qcfg, pos,
                 mode="decode", impl=impl, flush=not static_flush,
-                pad_len=pad)
+                pad_len=pad, fill_bound=fill_bound)
             logits = logits[:, -1, :]
             if use_pen:
                 seen = sampling.update_seen(seen, token[:, 0])

@@ -271,3 +271,50 @@ def test_swa_decode_with_pad():
     assert not np.any(np.isnan(np.asarray(got)))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# static live-fill grid bound (t_bound): the grid stops at the bound
+# instead of sweeping all Tmax//C chunk steps; arrays keep full-T block
+# layout.  Output must be bit-identical to the unbounded kernel, and
+# the dispatcher's fill_bound must stay oracle-exact.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("tprompt,steps,r,tb", [
+    (40, 0, 4, 512),      # all-window, one live chunk of two
+    (200, 60, 4, 512),    # mid-stream, bound tight over fill=260
+    (300, 140, 2, 512),   # fill=440, strip near the bound
+    (500, 11, 1, 512),    # fill=511, bound exactly covers the fill
+    (200, 60, 4, 1024),   # bound == Tmax: degenerates to the full sweep
+])
+def test_wide_t_bound_matches_unbounded(tprompt, steps, r, tb):
+    from kivi_tpu.kernels.fused_decode_wide import (
+        fused_decode_attention_wide)
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=128, v_flush=128)
+    B, H, D = 2, 4, 128
+    cache = _mk_cache(tprompt, steps, qcfg, B=B, H=H, D=D)
+    q = jax.random.normal(jax.random.PRNGKey(9), (B, H * r, 1, D),
+                          jnp.float32)
+    args = (q.reshape(B, H, r, D), cache.k_codes, cache.k_scale,
+            cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
+            cache.k_win, cache.v_win, cache.n_k_quant, cache.n_k_win,
+            cache.n_v_quant)
+    kw = dict(group_size=32, k_bits=2, v_bits=2)
+    full = fused_decode_attention_wide(*args, **kw)
+    bounded = fused_decode_attention_wide(*args, t_bound=tb, **kw)
+    np.testing.assert_array_equal(np.asarray(bounded), np.asarray(full))
+
+
+def test_dispatch_fill_bound_oracle_exact():
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=128, v_flush=128)
+    B, H, r, D = 2, 4, 2, 128
+    cache = _mk_cache(200, 60, qcfg, B=B, H=H, D=D)   # fill = 260
+    q = jax.random.normal(jax.random.PRNGKey(9), (B, H * r, 1, D),
+                          jnp.float32)
+    ref = decode_attention(q, cache, qcfg, impl="jnp")
+    got = decode_attention(q, cache, qcfg, impl="pallas",
+                           fill_bound=260)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)

@@ -58,10 +58,21 @@ CTX = 4096          # max sequence length (cache capacity)
 PROMPT = 1024       # prefill length
 STEPS = 256         # decode steps to time
 HBM_BYTES = int(15.75 * 1024**3)  # v5e (XLA reports 15.75G usable)
-# prefill transients differ by format: the KIVI path additionally holds
-# quantization intermediates over the whole prompt
+# Per-format reserve = that format's best prefill strategy's transient
+# needs.  KIVI prefills in 512-token chunks (flash_extend keeps transients
+# O(chunk)), so its reserve drops 4.0 -> 2.5 GiB, buying 16 sequences of
+# batch headroom.  The fp cache keeps one-shot flash prefill: its chunked
+# extend path has no flash kernel and compiles O(B*H*chunk*ctx) f32
+# logits (~7.6 GiB of HLO temps at batch 16 — measured OOM), while its
+# one-shot flash prefill fits comfortably in 3 GiB.  Decode timing is
+# unaffected either way; prefill is untimed setup.
 RESERVE_FP = 3.0 * 1024**3
-RESERVE_KIVI = 4.0 * 1024**3
+RESERVE_KIVI = 2.5 * 1024**3
+# 128 (not 512): the extend step's window+causal-self halves are jnp and
+# materialize O(B*T1*(W+T1)) logits — 128 keeps them ~1.2 GiB at the
+# max-batch geometry (512 measured 5+ GiB, 256 still 1.6 GiB over ->
+# OOM at batch 88).  Prefill is untimed setup; step count is irrelevant.
+PREFILL_CHUNK = 128
 BASELINE_SPEEDUP = 2.35    # reference README.md:29 lower bound
 
 
@@ -103,9 +114,18 @@ def run_one(qcfg: QuantConfig, batch: int, impl: str) -> float:
     tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, PROMPT), 0,
                                 CFG.vocab_size, jnp.int32)
     t0 = time.perf_counter()
-    first, caches = eng.prefill(tokens)
+    if qcfg.quantize_kv:
+        # chunked prefill: O(chunk) transients (what buys the batch
+        # headroom; see RESERVE_KIVI), two compiles for any prompt
+        # length.  Prefill is untimed setup here.
+        logits, caches = eng.prefill_chunked(tokens, PREFILL_CHUNK)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        how = f", chunked {PREFILL_CHUNK}"
+    else:
+        first, caches = eng.prefill(tokens)
+        how = ""
     _sync(first)
-    log(f"  prefill({batch}x{PROMPT}) + compile: "
+    log(f"  prefill({batch}x{PROMPT}{how}) + compile: "
         f"{time.perf_counter() - t0:.1f}s")
 
     pos = jnp.full((batch, 1), PROMPT, jnp.int32)

@@ -79,6 +79,13 @@ def main():
     plain_tps = args.gen / t_plain
     print(f"plain engine      : {plain_tps:8.1f} tok/s", file=sys.stderr)
 
+    # B=1 decode is WEIGHT-STREAMING bound (the engine's fused scan
+    # measures at the HBM floor), so speculation only wins when the
+    # draft's weights are much smaller than the target's: tokens/iter =
+    # acc+1, weight bytes/iter = (k+1)*draft + target.  An equal-size
+    # draft loses even at full acceptance; the host loop additionally
+    # pays dispatch round trips per iteration (ruinous over the
+    # tunnel), which generate_device removes entirely.
     for name, drf_seed, drf_layers in (
             ("upper (perfect)", 0, args.layers),
             ("lower (random) ", 7, max(1, args.layers // 4))):
@@ -86,9 +93,13 @@ def main():
         spec = SpeculativeEngine(tgt, drf, k=args.k)
         t = _time(lambda: spec.generate(toks, args.gen))
         acc = np.mean(spec.last_acceptance) if spec.last_acceptance else 0
-        print(f"spec {name}: {args.gen / t:8.1f} tok/s  "
-              f"(x{t_plain / t:4.2f} vs plain, mean acceptance "
-              f"{acc:.2f}/{args.k}, rewinds {spec.stats})",
+        td = _time(lambda: spec.generate_device(toks, args.gen))
+        wfrac = (args.k + 1) * drf_layers / args.layers + 1
+        model = (acc + 1) / wfrac
+        print(f"spec {name}: host {args.gen / t:7.1f} tok/s "
+              f"(x{t_plain / t:4.2f}) | device {args.gen / td:7.1f} tok/s "
+              f"(x{t_plain / td:4.2f}) | acceptance {acc:.2f}/{args.k}, "
+              f"weight-model x{model:.2f}, stats {spec.stats}",
               file=sys.stderr)
 
 

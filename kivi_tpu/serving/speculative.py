@@ -250,6 +250,146 @@ class SpeculativeEngine:
             self.stats["boundary_flush_v"] += 1
         return caches, W - max(N - wm["nkq"], N - wm["nvq"])
 
+    # -- device-resident loop (one dispatch per generation) -----------------
+
+    def _build_device_loop(self, max_new: int, has_eos: bool):
+        """One jitted program for the ENTIRE speculative generation:
+        `lax.while_loop` whose body is boundary flush -> (k+1)-step
+        draft scan -> width-(k+1) verify -> on-device accept ->
+        counter rollback.  The host loop pays 2+ dispatch round trips
+        per iteration — ruinous over a high-RTT link (measured 31 vs
+        161 tok/s against the engine's fused scan through the axon
+        tunnel); this is zero host round trips after prefill.
+
+        Only possible because of the boundary discipline: greedy accept
+        is pure argmax comparison, the clamp is counter arithmetic, the
+        flushes are the masked `n_win == W`-gated writes, and commit/
+        reject is a counter replace — no data-dependent host logic
+        remains.  The (k+1)-th draft step appends the final proposal's
+        K/V so a full accept needs no bonus dispatch (same trick as the
+        batched SpeculativeBatcher)."""
+        tgt, drf, k = self.target, self.draft, self.k
+        qt, qd = tgt.qcfg, drf.qcfg
+        OUT = max_new + k + 2          # block overshoot headroom
+
+        def flush_all(caches, qcfg, impl):
+            if not qcfg.quantize_kv:
+                return caches
+            out = []
+            for c in caches:
+                c = KC.flush_k_masked(c, qcfg, impl)
+                out.append(KC.flush_v_masked(c, qcfg, impl))
+            return out
+
+        def cap_of(caches, qcfg, eng, n):
+            c0 = caches[0]
+            if isinstance(c0, FpLayerCache):
+                return jnp.int32(eng.max_seq_len) - n
+            return (jnp.int32(qcfg.residual_length)
+                    - jnp.maximum(c0.n_k_win, c0.n_v_win))
+
+        def fn(params_t, params_d, cur, n0, count0, done0, out0, eos,
+               t_caches, d_caches):
+            def body(state):
+                cur, n, count, done, out, t_caches, d_caches = state
+                t_caches = flush_all(t_caches, qt, tgt.impl)
+                d_caches = flush_all(d_caches, qd, drf.impl)
+                keff = jnp.minimum(
+                    jnp.int32(k),
+                    jnp.minimum(cap_of(t_caches, qt, tgt, n),
+                                cap_of(d_caches, qd, drf, n)) - 1)
+
+                def dbody(carry, _):
+                    t, p, c = carry
+                    logits, c = modeling.forward(
+                        params_d, t, c, drf.cfg, qd, p, mode="decode",
+                        impl=drf.impl, ingest="window")
+                    nxt = jnp.argmax(logits[:, -1, :], -1).astype(
+                        jnp.int32)[:, None]
+                    return (nxt, p + 1, c), nxt[0, 0]
+
+                pos = jnp.full((1, 1), n, jnp.int32)
+                carry, d_toks = jax.lax.scan(
+                    dbody, (cur, pos, d_caches), None, length=k + 1)
+                d_caches = carry[2]
+
+                v_in = jnp.concatenate([cur, d_toks[:k][None, :]], axis=1)
+                positions = (n + jnp.arange(k + 1, dtype=jnp.int32))[None]
+                logits, t_caches = modeling.forward(
+                    params_t, v_in, t_caches, tgt.cfg, qt, positions,
+                    mode="extend", impl=tgt.impl, last_only=False,
+                    ingest="window")
+                t_pred = jnp.argmax(logits[0], -1).astype(jnp.int32)
+
+                mism = t_pred[:k] != d_toks[:k]
+                j = jnp.minimum(
+                    jnp.where(mism.any(), jnp.argmax(mism), k), keff)
+                ii = jnp.arange(k + 1, dtype=jnp.int32)
+                emit = jnp.where(ii < j, d_toks, t_pred[j])
+                valid = ii <= j
+                old = jax.lax.dynamic_slice(out, (count,), (k + 1,))
+                out = jax.lax.dynamic_update_slice(
+                    out, jnp.where(valid, emit, old), (count,))
+                if has_eos:
+                    done = jnp.logical_or(
+                        done, jnp.logical_and(valid, emit == eos).any())
+                n2 = n + j + 1
+                t_caches = self._rollback_fn(t_caches, n2)
+                d_caches = self._rollback_fn(d_caches, n2)
+                return (t_pred[j][None, None], n2, count + j + 1, done,
+                        out, t_caches, d_caches)
+
+            def cond(state):
+                _, _, count, done, *_ = state
+                return jnp.logical_and(count < max_new,
+                                       jnp.logical_not(done))
+
+            state = (cur, n0, count0, done0, out0, t_caches, d_caches)
+            state = jax.lax.while_loop(cond, body, state)
+            return state[2], state[4]       # (count, out)
+
+        return jax.jit(fn, donate_argnums=(6, 8, 9))
+
+    def generate_device(self, tokens: jax.Array, max_new_tokens: int,
+                        eos_token_id: Optional[int] = None) -> np.ndarray:
+        """Greedy speculative generation with the whole loop device-
+        resident: prefill (2 dispatches) + ONE while-loop dispatch.
+        Token-equal to generate(temperature=0) / target greedy.  No
+        streaming, no sampling (those stay on the host loop)."""
+        tgt, drf, k = self.target, self.draft, self.k
+        tokens = jnp.asarray(tokens, jnp.int32).reshape(1, -1)
+        Tp = tokens.shape[1]
+        key = (max_new_tokens, eos_token_id is not None)
+        loop = getattr(self, "_dev_loops", None)
+        if loop is None:
+            self._dev_loops = {}
+        if key not in self._dev_loops:
+            self._dev_loops[key] = self._build_device_loop(*key)
+
+        t_caches = modeling.init_caches(tgt.cfg, tgt.qcfg, 1,
+                                        tgt.max_seq_len, tgt.cache_dtype)
+        d_caches = modeling.init_caches(drf.cfg, drf.qcfg, 1,
+                                        drf.max_seq_len, drf.cache_dtype)
+        t_logits, t_caches = tgt._prefill(tgt.params, tokens, t_caches,
+                                          None)
+        _, d_caches = drf._prefill(drf.params, tokens, d_caches, None)
+        cur = jnp.argmax(t_logits, -1).astype(jnp.int32).reshape(1, 1)
+        out0 = jnp.zeros((max_new_tokens + k + 2,), jnp.int32)
+        out0 = out0.at[0].set(cur[0, 0])
+        eos = jnp.int32(eos_token_id if eos_token_id is not None else -1)
+        done0 = (cur[0, 0] == eos if eos_token_id is not None
+                 else jnp.asarray(False))
+        count, out = self._dev_loops[key](
+            tgt.params, drf.params, cur, jnp.int32(Tp), jnp.int32(1),
+            done0, out0, eos, t_caches, d_caches)
+        n = min(int(count), max_new_tokens)
+        toks = np.asarray(out)[:n]
+        if eos_token_id is not None:
+            hits = np.flatnonzero(toks == eos_token_id)
+            if hits.size:
+                toks = toks[:hits[0] + 1]
+        return toks[None, :].astype(np.int32)
+
     # -- generation loop ----------------------------------------------------
 
     def generate_stream(self, tokens: jax.Array, max_new_tokens: int,

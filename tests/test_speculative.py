@@ -181,3 +181,33 @@ def test_rejects_batched_engines():
         SpeculativeEngine(big, _eng())
     with pytest.raises(ValueError, match="batch_size=1"):
         SpeculativeEngine(_eng(), big)
+
+def test_generate_device_matches_host_loop():
+    """The device-resident while-loop (generate_device) must be
+    token-equal to the host-loop greedy generate, across W=32 flush
+    boundaries, for perfect and mismatched drafts."""
+    spec = _spec(k=5)                     # perfect draft, clamps fire
+    toks = _prompt(2, n=25)
+    np.testing.assert_array_equal(spec.generate_device(toks, 40),
+                                  spec.generate(toks, 40))
+    spec2 = _spec(small=True, seed=3)     # mismatched draft
+    toks2 = _prompt(1)
+    np.testing.assert_array_equal(spec2.generate_device(toks2, 30),
+                                  spec2.generate(toks2, 30))
+
+
+def test_generate_device_eos():
+    spec = _spec(small=True, seed=3)
+    toks = _prompt(4)
+    free = spec.generate(toks, 24)
+    eos = int(free[0, 6])
+    want = spec.generate(toks, 24, eos_token_id=eos)
+    got = spec.generate_device(toks, 24, eos_token_id=eos)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_generate_device_fp_draft():
+    spec = _spec(small=True, seed=5, fp=True)
+    toks = _prompt(3)
+    np.testing.assert_array_equal(spec.generate_device(toks, 22),
+                                  spec.generate(toks, 22))

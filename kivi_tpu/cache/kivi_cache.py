@@ -51,8 +51,9 @@ class KiviLayerCache:
     Shapes (B=batch, H=kv heads, D=head_dim, T=max_seq_len, W=residual_length,
     gs=group_size, KDw=D//(32//k_bits), VDw=D//(32//v_bits)):
       k_codes: u32 (B, H, KDw, T)     plane-packed transposed keys
-      k_scale: (B, H, D, T//gs)       per (channel, token-group), scale_dtype
-      k_mn:    (B, H, D, T//gs)
+      k_scale: (B, H, T//gs, D)       one (D,) row per token group, scale_dtype
+      k_mn:    (B, H, T//gs, D)       (groups on SUBLANES: decode kernels
+                                       stream scales at chunk granularity)
       v_codes: u32 (B, H, VDw, T)     plane-packed transposed values
       v_scale: (B, H, D//gs, T)       per (channel-group, token), scale_dtype
       v_mn:    (B, H, D//gs, T)
@@ -101,8 +102,8 @@ def init_layer_cache(batch: int, num_kv_heads: int, head_dim: int,
     i0 = jnp.zeros((), jnp.int32)
     return KiviLayerCache(
         k_codes=z((B, H, kdw, T), jnp.uint32),
-        k_scale=z((B, H, D, T // gs), sdt),
-        k_mn=z((B, H, D, T // gs), sdt),
+        k_scale=z((B, H, T // gs, D), sdt),
+        k_mn=z((B, H, T // gs, D), sdt),
         v_codes=z((B, H, vdw, T), jnp.uint32),
         v_scale=z((B, H, D // gs, T), sdt),
         v_mn=z((B, H, D // gs, T), sdt),
@@ -134,9 +135,9 @@ def _append_k_quant(cache: KiviLayerCache, k_block, qcfg: QuantConfig,
         k_codes=jax.lax.dynamic_update_slice(
             cache.k_codes, codes, (0, 0, 0, off)),
         k_scale=jax.lax.dynamic_update_slice(
-            cache.k_scale, scale.astype(sdt), (0, 0, 0, goff)),
+            cache.k_scale, scale.astype(sdt), (0, 0, goff, 0)),
         k_mn=jax.lax.dynamic_update_slice(
-            cache.k_mn, mn.astype(sdt), (0, 0, 0, goff)),
+            cache.k_mn, mn.astype(sdt), (0, 0, goff, 0)),
         n_k_quant=off + n_tokens,
     )
 
@@ -478,9 +479,9 @@ def flush_k_masked(cache: KiviLayerCache, qcfg: QuantConfig,
         k_codes=_masked_store_write(cache.k_codes, kc, (0, 0, 0, off),
                                     flush_k),
         k_scale=_masked_store_write(cache.k_scale, ks.astype(sdt),
-                                    (0, 0, 0, off // gs), flush_k),
+                                    (0, 0, off // gs, 0), flush_k),
         k_mn=_masked_store_write(cache.k_mn, km.astype(sdt),
-                                 (0, 0, 0, off // gs), flush_k),
+                                 (0, 0, off // gs, 0), flush_k),
         n_k_quant=off + jnp.where(flush_k, W, 0),
         n_k_win=jnp.where(flush_k, 0, cache.n_k_win),
     )

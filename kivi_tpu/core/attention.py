@@ -123,7 +123,11 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
             cache.k_win, cache.v_win, cache.n_k_quant, cache.n_k_win,
             cache.n_v_quant, group_size=qcfg.group_size, chunk=chunk,
             k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, pad_len=lo,
-            t_bound=tb)
+            t_bound=tb,
+            # v_flush == W locks the K/V quantized watermarks together
+            # (nvq <= nkq always), so the window phase's pinned V-store
+            # block is zero-weighted: drop its three operand streams
+            no_pinned_v=qcfg.value_flush == W)
         return out.reshape(B, Hq, 1, D)
     if (impl == "pallas" and W % 128 == 0
             and qcfg.k_bits in (2, 4) and qcfg.v_bits in (2, 4)):

@@ -204,22 +204,31 @@ def quantize_k_block(k_t: jax.Array, group_size: int, bits: int):
     reference `models/llama_kivi.py:133-135`).
 
     Returns:
-      k_codes (B, H, Dw, T) u32, k_scale (B, H, D, T//gs) f32,
-      k_mn (B, H, D, T//gs) f32 — token-group axis LAST, like every other
-      stored array (lane-aligned streaming appends, no transposes in the
-      quant or QK kernels).
+      k_codes (B, H, Dw, T) u32, k_scale (B, H, T//gs, D) f32,
+      k_mn (B, H, T//gs, D) f32 — token-GROUP axis on SUBLANES (round 4).
+      The codes keep the token axis last (lane-aligned streaming appends),
+      but the scale planes store one (D,) ROW per token group: the decode
+      kernels stream scales at chunk granularity (a (C//gs, D) block per
+      chunk, riding the same dead-chunk clamp as the codes — a
+      partially-filled cache reads only its live scale fraction, where
+      the old lane-major plane forced a full 128-group superblock fetch)
+      and the scale-folded QK slices its per-chunk scale rows directly
+      off the block with no in-kernel transpose.
     """
     codes, scale, mn = quantize_last(k_t, group_size, bits)  # scale (B,H,D,Tg)
     words = pack_codes(codes, bits, axis=-2)
-    return words, scale, mn
+    return (words, jnp.swapaxes(scale, -1, -2),
+            jnp.swapaxes(mn, -1, -2))
 
 
 def dequantize_k(k_codes, k_scale, k_mn, group_size: int, bits: int):
     """(B,H,Dw,T) u32 -> (B,H,D,T) f32 keys (transposed layout).
-    k_scale/k_mn: (B, H, D, T//gs)."""
+    k_scale/k_mn: (B, H, T//gs, D)."""
     codes = unpack_codes(k_codes, bits, axis=-2)  # (B,H,D,T)
-    return dequantize_last(codes, k_scale.astype(jnp.float32),
-                           k_mn.astype(jnp.float32), group_size)
+    return dequantize_last(codes,
+                           jnp.swapaxes(k_scale, -1, -2).astype(jnp.float32),
+                           jnp.swapaxes(k_mn, -1, -2).astype(jnp.float32),
+                           group_size)
 
 
 def quantize_v_block(v: jax.Array, group_size: int, bits: int):

@@ -63,8 +63,12 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     kw = dict(preferred_element_type=jnp.float32)
 
     q = q_ref[0]                                           # (R, D) cdt
-    kmn = km_ref[0].astype(cdt)                            # (D, Tg)
-    qmn = jnp.dot(q, kmn, **kw)                            # (R, Tg) f32
+    # K scale/zp planes arrive as (Tg, D) token-group ROWS (round-4
+    # cache layout): contract q against the zp rows directly, transpose
+    # the scale plane once for the per-chunk column slices
+    qmn = jax.lax.dot_general(q, km_ref[0].astype(cdt),
+                              (((1,), (1,)), ((), ())), **kw)  # (R, Tg)
+    ksT = jnp.transpose(ks_ref[0], (1, 0)).astype(cdt)     # (D, Tg)
     cg = C // gs
     expand_c = (_iota((cg, C), 0)
                 == _iota((cg, C), 1) // gs).astype(cdt)    # (cg, C)
@@ -120,8 +124,8 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         def _chunk(t0=t0, c=c):
             kvals, kscale, _ = _unpack_deq(
                 kw_ref[0, :, pl.ds(t0, C)],
-                ks_ref[0, :, pl.ds(c * cg, cg)].astype(cdt),
-                km_ref[0].astype(cdt), k_bits, cdt)
+                ksT[:, c * cg:(c + 1) * cg],
+                None, k_bits, cdt)
             s_exp = jnp.dot(kscale.astype(cdt), expand_c, **kw).astype(cdt)
             s = jnp.dot(q, kvals * s_exp, **kw)
             s += jnp.dot(qmn[:, c * cg:(c + 1) * cg].astype(cdt),
@@ -195,8 +199,8 @@ def flash_extend_qhist(qg, k_codes, k_scale, k_mn, v_codes, v_scale,
         in_specs=[
             pl.BlockSpec((1, R, D), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, KDw, T), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, T // gs), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, T // gs), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T // gs, D), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T // gs, D), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, VDw, T), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D // gs, T), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D // gs, T), full, memory_space=pltpu.VMEM),
@@ -224,8 +228,8 @@ def flash_extend_qhist(qg, k_codes, k_scale, k_mn, v_codes, v_scale,
         cnt,
         qg.astype(compute_dtype).reshape(BH, R, D),
         k_codes.reshape(BH, KDw, T),
-        k_scale.astype(compute_dtype).reshape(BH, D, T // gs),
-        k_mn.astype(compute_dtype).reshape(BH, D, T // gs),
+        k_scale.astype(compute_dtype).reshape(BH, T // gs, D),
+        k_mn.astype(compute_dtype).reshape(BH, T // gs, D),
         v_codes.reshape(BH, VDw, T),
         v_scale.astype(compute_dtype).reshape(BH, D // gs, T),
         v_mn.astype(compute_dtype).reshape(BH, D // gs, T),

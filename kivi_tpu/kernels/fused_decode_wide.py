@@ -10,13 +10,18 @@ head_fold KV heads into one program:
     utilization;
   * QK runs per folded head as a (cg*r, D) x (D, C) matmul whose query
     rows carry the K scales FOLDED IN: row (rr, g) is
-    q_h[rr] * (F * k_scale[:, g]) — the chunk's cg groups of scale rows
-    slice off a per-superblock TRANSPOSED scale scratch, and the group
-    structure collapses back out of the product by a sublane reduction
-    against a static group mask.  This deletes the group->token scale
-    expansion entirely (a one-hot (Sg, C) dot per j-block in round 2's
-    block-diagonal form — as many full MXU passes as the QK dot itself,
-    0.68 of 1.78 ms measured at 32K; scripts/profile_wide_32k.py);
+    q_h[rr] * (F * k_scale_row[g]) — the cache stores K scales as
+    (Tg, D) ROWS (round 4), so the chunk's cg scale rows arrive as
+    their own streamed block, advancing and dead-chunk-eliding with the
+    code stream (a partially filled cache reads only its live scale
+    fraction; the old lane-major layout fetched whole 128-group
+    superblocks — the FULL plane at 4K).  The group structure collapses
+    back out of the product by a sublane reduction against a static
+    group mask, with the zero-point term folded into the same collapse
+    via a VPU lane-reduce (no zp projection, no select pass).  This
+    deletes the group->token scale expansion entirely (a one-hot
+    (Sg, C) dot per j-block in round 2's block-diagonal form — as many
+    full MXU passes as the QK dot itself; scripts/profile_wide_32k.py);
   * the packed stores unpack for all folded heads at once: the bitcast
     crumb unpack of a (Hg*Dw, C) word tile yields rows in the order
     rho(j, h, w, half) = j*(2*Hg*Dw) + h*(2*Dw) + 2w + half, staged
@@ -65,10 +70,10 @@ def _iota(shape, dim):
 
 def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             vwb_ref, vsb_ref, vmb_ref, kwin_ref, vwin_ref, o_ref,
-            m_scr, l_scr, acc_scr, stT_scr, vals_scr, qnat_scr, qzp_scr,
-            pwin_scr, maskv_scr, pfold_scr, p_scr, *,
+            m_scr, l_scr, acc_scr, vals_scr,
+            pwin_scr, maskv_scr, pfold_scr, maskg_scr, p_scr, *,
             k_bits: int, v_bits: int, gs: int, C: int, W: int, r: int,
-            T: int, nt: int, sm_scale: float, cdt):
+            T: int, nt: int, sbg: int, sm_scale: float, cdt):
     # nt: number of CHUNK grid steps — T//C for a full sweep, fewer
     # under a static live-fill bound (t_bound): the arrays keep their
     # full T blocks, the grid just never visits chunks the caller
@@ -100,8 +105,12 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         """j-th block of bf16 'value' rows from packed u32 word rows.
 
         2/4-bit crumbs: 3 int ops + free u32->bf16 bitcast (doubles the
-        sublanes); rows are b - 1 = c/F EXACTLY (see the precision note
-        in _init).  8-bit planes: shift+mask+int cast; rows are the
+        sublanes); rows are b - 1 = c/F EXACTLY — the explicit subtract
+        (exact in bf16) is precision-load-bearing: folding the 1 into
+        the zero point would multiply b = 1 + c/F by the scale in bf16,
+        whose 2^-8 relative rounding is F/256 of the signal after the
+        cancellation, ruinous at 2-bit (F=128).  8-bit planes:
+        shift+mask+int cast; rows are the
         CENTERED codes c - 128 (exact in bf16, 8 significand bits), so
         the dequant affine is x = scale*(c-128) + (mn + 128*scale) with
         the 128*scale correction folded into the zero-point projection.
@@ -125,28 +134,13 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
 
     head_of_row = _iota((HR, 1), 0) // r          # (HR, 1)
 
-    # ---- first grid step: per-program constants into scratch -------------
+    # ---- first grid step: per-program state reset ------------------------
     @pl.when(it == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
         pwin_scr[:] = jnp.zeros_like(pwin_scr)
-        q = q_ref[0].astype(cdt) * cdt(sm_scale)  # fold sm_scale into q
-        # natural-order block-diagonal q, kept in scratch for the
-        # per-SUPERBLOCK zero-point projection (scales/zps arrive as
-        # Sg-group superblocks, so the zp logits are recomputed from
-        # q_nat on superblock entry instead of precomputed over a
-        # full-width (HR, Tg) plane; K-scale VMEM is then context-
-        # length-independent, which is what lets the head fold survive
-        # 32K contexts).
-        # NOTE: do NOT fold the -1 crumb offset in here (as -q.(F*scale)):
-        # the kernel would then multiply b = 1 + c/F by the scale in bf16,
-        # whose 2^-8 relative rounding is F/256 of the signal after the
-        # cancellation — ruinous at 2-bit (F=128).  The explicit b - 1
-        # (exact in bf16) is precision-load-bearing.
-        qnat_scr[:] = jnp.where(_iota((HR, HD), 1) // D == head_of_row,
-                                pltpu.repeat(q, Hkv, 1), 0)
 
     # program-INVARIANT scratch constants, built once per pallas_call:
     # the TPU grid runs sequentially row-major, and scratch persists
@@ -163,6 +157,10 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         rho = _iota((HD, D), 0)
         dd = (rho // (Hkv * vdw2)) * vdw2 + rho % vdw2
         pfold_scr[:] = (dd == _iota((HD, D), 1)).astype(cdt)
+        # group-collapse mask: column t's logit lives on sublane t//gs
+        # of each per-head (cg, C) product block (scale-folded QK)
+        maskg_scr[:] = (_iota((cg, C), 0)
+                        == _iota((cg, C), 1) // gs).astype(jnp.float32)
 
     def online(s):
         """Online softmax bookkeeping; returns p (f32)."""
@@ -251,77 +249,65 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     def _chunk():
         t0 = it * C
         kwords = kw_ref[0].reshape(Hkv * kw_ref.shape[2], C)
-        # K scales/zps arrive as SUPERBLOCKS of Sg groups (Sg = 128, the
-        # Mosaic lane-tile, or the full Tg when Tg < 128): resident
-        # scale VMEM and per-chunk cost are context-length-independent,
-        # so the head fold and chunk math that win at 4K stay identical
-        # at 32K.
-        Sg = km_ref.shape[-1]
-        sel_e = (_iota((Sg, C), 0)
-                 == (it * cg) % Sg + _iota((Sg, C), 1) // gs).astype(cdt)
-
-        # zp logits are cached PER SUPERBLOCK: the (HR, HD) x (HD, Sg)
-        # projection runs once per Sg-group block (== once per program
-        # at 4K, 8x per program at 32K — amortized exactly like the old
-        # full-width precompute), leaving the per-chunk cost at the
-        # (Sg, cg) select.  The SCALE side transposes the superblock
-        # once on entry (Hg*D/128 MXU tile-transposes, same
-        # amortization) so the chunk's scale rows can slice off its
-        # SUBLANES and fold into the query side (see below).  Recompute
-        # on superblock entry; a left-pad can skip chunk 0, so the
-        # first LIVE chunk also recomputes.
-        @pl.when(jnp.logical_or((it * cg) % Sg == 0, it == lo // C))
-        def _qzp_super():
-            zp = jnp.dot(qnat_scr[:].astype(cdt),
-                         km_ref[0].reshape(HD, Sg).astype(cdt), **kw)
-            if k_bits == 8:
-                # centered 8-bit codes: x = scale*(c-128) + (mn+128*scale)
-                zp = zp + 128.0 * jnp.dot(
-                    qnat_scr[:].astype(cdt),
-                    ks_ref[0].reshape(HD, Sg).astype(cdt), **kw)
-            qzp_scr[:] = zp
-            stT_scr[:] = jnp.transpose(
-                ks_ref[0].reshape(HD, Sg), (1, 0)).astype(cdt) * cdt(Fk)
-
-        s = jnp.dot(qzp_scr[:].astype(cdt), sel_e, **kw)     # zp term
 
         # ---- scale-folded QK (round 3; scripts/profile_wide_32k.py) --
-        # The old form expanded scales groups->tokens with a one-hot
-        # (Sg, C) dot per j-block — at full MXU utilization that is
-        # nb*Sg*C MACs/chunk of pure broadcast work, measured 0.68 ms of
-        # the 1.78 ms 32K chunk loop, as many MXU passes as the QK dot
-        # itself.  Folding the scale into the QUERY side deletes it:
-        # rows (g, rr) of Qh = q_h[rr] * (F*scale[:, g]) need the scale
-        # as lane-major rows — sliced from the TRANSPOSED superblock —
-        # and cg*r <= 128 keeps Qh inside one MXU row tile, so the
-        # per-head (cg*r, D) x (D, C) dots cost exactly the old QK dot's
-        # passes with NO expand dot and NO (HD, C) scale multiply.  The
-        # group structure comes back out via a sublane collapse of the
-        # (cg, C) per-row-block products against a static group mask.
-        # MHA 32K measured: 1.73 -> 1.38 ms/call at B=4, fill 32640.
+        # The r2 form expanded scales groups->tokens with a one-hot
+        # (Sg, C) dot per j-block — as many full MXU passes as the QK
+        # dot itself (0.68 of 1.78 ms measured at 32K).  Folding the
+        # scale into the QUERY side deletes it: rows (g, rr) of
+        # Qh = q_h[rr] * (F*scale_rows[g]) — and since round 4 the
+        # cache stores K scales as (Tg, D) ROWS, the chunk's cg scale
+        # rows ARRIVE in streamed SB-group blocks, so
+        # there is no superblock transpose, no per-superblock zp
+        # projection, and no (Sg, cg) select pass left at all; the
+        # scale DMA advances with the code DMA and dead chunks elide
+        # BOTH.  cg*r <= 128 keeps Qh inside one MXU row tile, so the
+        # per-head (cg*r, D) x (D, C) dots cost exactly the bare QK
+        # passes.  The group structure collapses back out of the
+        # product by a sublane reduction against the static group mask.
         # unpack into HEAD-MAJOR scratch: one head's channels contiguous
         for j in range(njk):
             vals_j = unpack_rows(kwords, k_bits, j)
             for h in range(Hkv):
                 vals_scr[h * D + j * kdw2:h * D + (j + 1) * kdw2, :] = (
                     vals_j[h * kdw2:(h + 1) * kdw2, :])
-        boff = pl.multiple_of((it * cg) % Sg, 8)
-        sblkT = stT_scr[pl.ds(boff, cg), :]                  # (cg, HD)
+        if sbg == cg:
+            sblk, zblk = ks_ref[0], km_ref[0]    # (Hg, cg, D)
+            srows_of = lambda h: sblk[h]         # block == this chunk
+            zrows_of = lambda h: zblk[h]
+        else:
+            # block spans several chunks (or the whole plane): slice
+            # this chunk's rows off the REF (needs cg % 8 == 0,
+            # enforced by wide_kernel_supported / the SB choice)
+            boff = pl.multiple_of((it * cg) % sbg, 8)
+            srows_of = lambda h: ks_ref[0, h, pl.ds(boff, cg), :]
+            zrows_of = lambda h: km_ref[0, h, pl.ds(boff, cg), :]
         qn = q_ref[0].astype(cdt) * cdt(sm_scale)            # (HR, D)
-        gmask = (_iota((cg, C), 0)
-                 == _iota((cg, C), 1) // gs).astype(jnp.float32)
+        gmask = maskg_scr[:]
         srows = []
         for h in range(Hkv):
-            sT_h = sblkT[:, h * D:(h + 1) * D]               # (cg, D)
-            qh_parts = [sT_h * qn[h * r + rr:h * r + rr + 1, :]
+            s_h = srows_of(h).astype(cdt) * cdt(Fk)          # (cg, D)
+            z_h = zrows_of(h).astype(jnp.float32)
+            if k_bits == 8:
+                # centered 8-bit codes: x = scale*(c-128) + (mn+128*scale)
+                z_h = z_h + 128.0 * srows_of(h).astype(jnp.float32)
+            qh_parts = [s_h * qn[h * r + rr:h * r + rr + 1, :]
                         for rr in range(r)]
             Qh = (qh_parts[0] if r == 1
                   else jnp.concatenate(qh_parts, axis=0))    # (r*cg, D)
             sh = jnp.dot(Qh, vals_scr[h * D:(h + 1) * D, :], **kw)
+            # The zero-point term of row rr / group g is the per-(g, rr)
+            # constant q_h[rr]·zp_h[g], added to every column of sublane
+            # g BEFORE the group collapse — a VPU lane-reduce replaces
+            # the old per-superblock (HR, HD)x(HD, Sg) projection and
+            # its per-chunk (HR, Sg)x(Sg, C) select pass.
             for rr in range(r):
-                srows.append(jnp.sum(sh[rr * cg:(rr + 1) * cg, :] * gmask,
-                                     axis=0, keepdims=True))
-        s = s + jnp.concatenate(srows, axis=0)               # (HR, C)
+                q32 = qn[h * r + rr:h * r + rr + 1, :].astype(jnp.float32)
+                zq = jnp.sum(z_h * q32, axis=1, keepdims=True)  # (cg, 1)
+                srows.append(jnp.sum(
+                    (sh[rr * cg:(rr + 1) * cg, :] + zq) * gmask,
+                    axis=0, keepdims=True))
+        s = jnp.concatenate(srows, axis=0)                   # (HR, C)
         pos_row = t0 + _iota((HR, C), 1)
         s = jnp.where(jnp.logical_and(pos_row < nkq, pos_row >= lo),
                       s, NEG_INF)
@@ -371,14 +357,20 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             p_own = p_own + p[:, h * W:(h + 1) * W]
 
         # quantized V for window positions still in the store
-        # (pos in [nkq, nvq)): aligned W-slice of the pinned v block
-        in_blk = pl.multiple_of(nkq - (nkq // C) * C, 128)
-        acc_scr[:] = acc_scr[:] + quant_v_contrib(
-            p_own,
-            vwb_ref[0, :, :, pl.ds(in_blk, W)],
-            vsb_ref[0, :, :, pl.ds(in_blk, W)],
-            vmb_ref[0, :, :, pl.ds(in_blk, W)],
-            nkq)
+        # (pos in [nkq, nvq)): aligned W-slice of the pinned v block.
+        # At v_flush == W the K and V quantized watermarks move in
+        # lockstep (nvq <= nkq always), the span is provably EMPTY and
+        # the dispatcher drops the three pinned operands entirely —
+        # their per-program fetch is ~15% of the live bytes at serving
+        # fills, all zero-weighted.
+        if vwb_ref is not None:
+            in_blk = pl.multiple_of(nkq - (nkq // C) * C, 128)
+            acc_scr[:] = acc_scr[:] + quant_v_contrib(
+                p_own,
+                vwb_ref[0, :, :, pl.ds(in_blk, W)],
+                vsb_ref[0, :, :, pl.ds(in_blk, W)],
+                vmb_ref[0, :, :, pl.ds(in_blk, W)],
+                nkq)
 
         # merge window probs into the strip buffer at their positions
         delta = nkq - nvq   # 128-aligned, in [-W, W]
@@ -407,9 +399,9 @@ def wide_kernel_supported(Tmax: int, W: int, v_flush: int, k_bits: int,
     by both T and W (window-phase pinned-block slices must stay inside
     one chunk), and the scale-folded QK's row/alignment bounds —
     cg*r <= 128 (the per-head Q block must fit one MXU row tile) and
-    the chunk-base sublane slice of the transposed scale superblock
-    8-aligned (cg % 8 == 0, or a single-chunk cache where the base is
-    always 0)."""
+    the chunk-base sublane slice of the (Tg, D) scale-row plane
+    8-aligned in the non-blocked fallback (cg % 8 == 0, or a
+    single-chunk cache where the base is always 0)."""
     C = min(chunk, Tmax)
     if C % group_size != 0:
         return False
@@ -467,7 +459,8 @@ def default_head_fold(Hkv: int, r: int, D: int, Tg: int,
 
 @functools.partial(
     jax.jit, static_argnames=("group_size", "k_bits", "v_bits", "chunk",
-                              "compute_dtype", "head_fold", "t_bound"))
+                              "compute_dtype", "head_fold", "t_bound",
+                              "scale_block", "no_pinned_v"))
 def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
                                 v_scale, v_mn, k_win, v_win, n_k_quant,
                                 n_k_win, n_v_quant, *, group_size: int,
@@ -475,7 +468,9 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
                                 compute_dtype=jnp.bfloat16,
                                 head_fold: int | None = None,
                                 pad_len=None,
-                                t_bound: int | None = None):
+                                t_bound: int | None = None,
+                                scale_block: int | None = None,
+                                no_pinned_v: bool = False):
     """qg (B,Hkv,r,D) + KiviLayerCache arrays -> (B,Hkv,r,D) f32.
 
     head_fold (Hg): KV heads folded into one program (must divide Hkv).
@@ -524,33 +519,75 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
         jnp.repeat(lo, ng),         # per-program (b*ng + g) lower bound
     ])
 
+    cg_ = C // gs
+    # K scale/zp planes are (B, Hkv, Tg, D): one (D,) row per token
+    # group, token-group axis on SUBLANES (round 4).  The scale stream
+    # advances in SB-group blocks riding the same dead-chunk clamp as
+    # the codes, so a partially filled cache reads only ~its live scale
+    # fraction (the old lane-major layout forced a whole 128-group
+    # superblock fetch at any fill — the FULL plane at 4K contexts).
+    # SB is a granularity/DMA-issue tradeoff (scripts/scale_block_sweep
+    # on v5e): per-chunk blocks (SB == cg_) win short grids — 4K full
+    # cache 1.97 ms vs the r3 superblock form's 3.3-3.4 — but at 32
+    # chunks the two extra DMA issues per step dominate (32K SB=cg 2.10
+    # vs SB=4cg 1.36 ms), so long grids fetch 4 chunks of scale rows
+    # per block.  SB must cover whole chunks (SB % cg_ == 0, slices
+    # 8-aligned via cg_ % 8 == 0) or be the whole plane; resident VMEM
+    # is 2*2*Hg*SB*D*2 bytes (double-buffered scale+zp), so SB stays
+    # small next to the code blocks (SB=256 at 32K failed to fit).
+    stile = 8 if jnp.dtype(k_scale.dtype) == jnp.dtype(jnp.float32) else 16
+    if scale_block is not None:
+        SB = scale_block
+    elif cg_ % stile == 0 and cg_ % 8 == 0:
+        SB = cg_ if nt <= 8 else min(4 * cg_, Tg)
+    elif cg_ % stile == 0:
+        SB = cg_
+    else:
+        SB = Tg
+    assert (SB == Tg or (Tg % SB == 0 and SB % cg_ == 0
+                         and (SB == cg_ or cg_ % 8 == 0))), (SB, cg_, Tg)
     kernel = functools.partial(
         _kernel, k_bits=k_bits, v_bits=v_bits, gs=gs, C=C, W=W, r=r, T=T,
-        nt=ntb, sm_scale=1.0 / (D ** 0.5), cdt=compute_dtype)
+        nt=ntb, sbg=SB, sm_scale=1.0 / (D ** 0.5),
+        cdt=compute_dtype)
     full = lambda i, t, *_: (i, 0, 0)
     full4 = lambda i, t, *_: (i // ng, i % ng, 0, 0)
     # Dead chunks clamp to the last live block (tail) / first live block
     # (left-padded front): consecutive equal block indices make Pallas
     # skip the fetch, so a partially filled or left-padded cache DMAs
     # only its live fraction.
-    chunk4 = lambda i, t, cnt: (
-        i // ng, i % ng, 0,
-        jnp.clip(jnp.maximum(jnp.minimum(t, (cnt[0] + C - 1) // C - 1),
-                             cnt[3 + i] // C), 0, nt - 1))
+    cclamp = lambda i, t, cnt: jnp.clip(
+        jnp.maximum(jnp.minimum(t, (cnt[0] + C - 1) // C - 1),
+                    cnt[3 + i] // C), 0, nt - 1)
+    chunk4 = lambda i, t, cnt: (i // ng, i % ng, 0, cclamp(i, t, cnt))
     # the window phase needs the v-store block containing [nkq, nkq+W):
     # pinned via scalar prefetch (clamped for the full-cache edge where
     # nkq == T would index one block past the store)
     pin4 = lambda i, t, cnt: (i // ng, i % ng, 0,
                               jnp.minimum(cnt[0] // C, nt - 1))
-    # K scale/zp superblocks: Sg groups (one lane tile) per block so the
-    # resident scale VMEM no longer scales with T; the block advances
-    # every Sg//cg chunks, riding the same dead-chunk clamp as the codes
-    cg_ = C // gs
-    Sg = 128 if (Tg >= 128 and Tg % 128 == 0) else Tg
-    scale4 = lambda i, t, cnt: (
-        i // ng, i % ng, 0,
-        jnp.clip(jnp.maximum(jnp.minimum(t, (cnt[0] + C - 1) // C - 1),
-                             cnt[3 + i] // C), 0, nt - 1) * cg_ // Sg)
+    scale4 = ((lambda i, t, cnt:
+               (i // ng, i % ng, cclamp(i, t, cnt) * cg_ // SB, 0))
+              if SB != Tg else full4)
+
+    # With v_flush == W the window-phase pinned V block is provably
+    # dead (nvq <= nkq, span [nkq, nvq) empty): drop the three pinned
+    # operands so neither their DMA nor their contribution exists.
+    if no_pinned_v:
+        inner = kernel
+
+        def kernel(cnt, q, kw_, ks, km, vw, vs, vm, kwin, vwin, o, *scr):
+            inner(cnt, q, kw_, ks, km, vw, vs, vm, None, None, None,
+                  kwin, vwin, o, *scr)
+
+        pin_specs, pin_ops = [], []
+    else:
+        pin_specs = [
+            pl.BlockSpec((1, Hg, VDw, C), pin4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, Dg, C), pin4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, Dg, C), pin4, memory_space=pltpu.VMEM),
+        ]
+        pin_ops = [v_codes, v_scale.astype(compute_dtype),
+                   v_mn.astype(compute_dtype)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -558,14 +595,12 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
         in_specs=[
             pl.BlockSpec((1, HR, D), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hg, KDw, C), chunk4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hg, D, Sg), scale4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hg, D, Sg), scale4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, SB, D), scale4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Hg, SB, D), scale4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hg, VDw, C), chunk4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hg, Dg, C), chunk4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hg, Dg, C), chunk4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hg, VDw, C), pin4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hg, Dg, C), pin4, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hg, Dg, C), pin4, memory_space=pltpu.VMEM),
+            *pin_specs,
             pl.BlockSpec((1, Hg, W, D), full4, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Hg, W, D), full4, memory_space=pltpu.VMEM),
         ],
@@ -574,13 +609,11 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
             pltpu.VMEM((HR, 128), jnp.float32),              # m
             pltpu.VMEM((HR, 128), jnp.float32),              # l
             pltpu.VMEM((HR, D), jnp.float32),                # acc
-            pltpu.VMEM((Sg, Hg * D), compute_dtype),         # scales^T
             pltpu.VMEM((Hg * D, C), compute_dtype),          # head-major K
-            pltpu.VMEM((HR, Hg * D), compute_dtype),         # q natural
-            pltpu.VMEM((HR, Sg), jnp.float32),               # zp logits
             pltpu.VMEM((HR, 3 * W), jnp.float32),            # strip probs
             pltpu.VMEM((HR, Hg * D), compute_dtype),         # V head mask
             pltpu.VMEM((Hg * D, D), compute_dtype),          # P fold
+            pltpu.VMEM((cg_, C), jnp.float32),               # group mask
             pltpu.VMEM((HR, C), jnp.float32),                # p staging
         ],
     )
@@ -596,8 +629,7 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
         k_mn.astype(compute_dtype),
         v_codes, v_scale.astype(compute_dtype),
         v_mn.astype(compute_dtype),
-        v_codes, v_scale.astype(compute_dtype),
-        v_mn.astype(compute_dtype),
+        *pin_ops,
         k_win.astype(compute_dtype), v_win.astype(compute_dtype),
     )
     return out.reshape(B, Hkv, r, D)

@@ -119,7 +119,9 @@ NEG_INF = -1e30
 
 def _qk_kernel(nq_ref, q_ref, w_ref, s_ref, m_ref, o_ref, *, bits: int,
                gs: int, t_block: int, cdt):
-    # q (1, r, D) | w (1, Dw, Tblk) u32 | s,m (1, D, Tg_full) unblocked
+    # q (1, r, D) | w (1, Dw, Tblk) u32 | s,m (1, Tg_full, D) unblocked
+    # (the cache stores K scales as token-group ROWS since round 4; this
+    # compatibility kernel transposes the plane back once per program)
     kw = _dot_kw(cdt)
     nq = nq_ref[0]
     t0 = pl.program_id(1) * t_block
@@ -132,7 +134,8 @@ def _qk_kernel(nq_ref, q_ref, w_ref, s_ref, m_ref, o_ref, *, bits: int,
     def _live():
         q = q_ref[0].astype(cdt)                    # (r, D)
         vals, scale, mn = _unpack_deq(
-            w_ref[0], s_ref[0].astype(cdt), m_ref[0].astype(cdt), bits, cdt)
+            w_ref[0], jnp.transpose(s_ref[0], (1, 0)).astype(cdt),
+            jnp.transpose(m_ref[0], (1, 0)).astype(cdt), bits, cdt)
         tg_full = scale.shape[1]
         # per-block one-hot group expansion E[g, tau] = (g == (t0+tau)//gs)
         gid = jax.lax.broadcasted_iota(jnp.int32, (tg_full, t_block), 0)
@@ -154,7 +157,7 @@ def qk_dequant_matmul(qg, k_codes, k_scale, k_mn, group_size: int, bits: int,
                       compute_dtype=jnp.bfloat16):
     """att = qg @ dequant(K): (B,H,r,D) x (B,H,Dw,T) -> (B,H,r,T) f32.
 
-    k_scale/k_mn: (B, H, D, T//gs).  Contract of the reference's
+    k_scale/k_mn: (B, H, T//gs, D).  Contract of the reference's
     `cuda_bmm_fA_qB_outer(group_size, fA, qB, scales, zeros, bits)`
     (`quant/matmul.py:178`), with our packed layouts (core/quant.py).
 
@@ -183,9 +186,9 @@ def qk_dequant_matmul(qg, k_codes, k_scale, k_mn, group_size: int, bits: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Dw, t_block), lambda b, t, *_: (b, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, T // gs), lambda b, t, *_: (b, 0, 0),
+            pl.BlockSpec((1, T // gs, D), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, T // gs), lambda b, t, *_: (b, 0, 0),
+            pl.BlockSpec((1, T // gs, D), lambda b, t, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, r, t_block), lambda b, t, *_: (b, 0, t),
@@ -200,8 +203,8 @@ def qk_dequant_matmul(qg, k_codes, k_scale, k_mn, group_size: int, bits: int,
         nq,
         qg.astype(compute_dtype).reshape(BH, r, D),
         k_codes.reshape(BH, Dw, T),
-        k_scale.astype(compute_dtype).reshape(BH, D, T // gs),
-        k_mn.astype(compute_dtype).reshape(BH, D, T // gs),
+        k_scale.astype(compute_dtype).reshape(BH, T // gs, D),
+        k_mn.astype(compute_dtype).reshape(BH, T // gs, D),
     )
     return out.reshape(B, H, r, T)
 

@@ -14,7 +14,7 @@ TRANSPOSED (.., D, T) layout the cache stores:
     reference `models/llama_kivi.py:176-178`).
 
 Outputs land directly in the cache's native layouts (core/quant.py):
-codes plane-packed (Dw, T) u32, K scales (D, T//gs), V scales (D//gs, T).
+codes plane-packed (Dw, T) u32, K scales (T//gs, D), V scales (D//gs, T).
 Group expansion uses small one-hot matmuls on the MXU rather than lane
 interleaves (same trick as the dequant matmuls in qk_pv.py).
 """
@@ -117,7 +117,7 @@ def _quant_v_kernel(x_ref, w_ref, s_ref, m_ref, *, bits: int, gs: int):
 
 @functools.partial(jax.jit, static_argnames=("group_size", "bits", "t_block"))
 def quantize_pack_k(k_t, group_size: int, bits: int, t_block: int = 2048):
-    """k_t (B,H,D,T) -> (codes (B,H,Dw,T) u32, scale/mn (B,H,D,T//gs) f32).
+    """k_t (B,H,D,T) -> (codes (B,H,Dw,T) u32, scale/mn (B,H,T//gs,D) f32).
 
     Bit-for-bit contract of core.quant.quantize_k_block.  Group stats in
     XLA (lane-split reduce), expand/round/pack in Pallas."""
@@ -165,8 +165,12 @@ def quantize_pack_k(k_t, group_size: int, bits: int, t_block: int = 2048):
         out_shape=jax.ShapeDtypeStruct((BH, Dw, T), jnp.uint32),
         interpret=_use_interpret(),
     )(k_t.reshape(BH, D, T), scale, mn)
-    return (words.reshape(B, H, Dw, T), scale.reshape(B, H, D, G),
-            mn.reshape(B, H, D, G))
+    # scale planes store one (D,) row per token group (round 4; see
+    # core.quant.quantize_k_block) — the kernel consumes the (D, G)
+    # stats it needs, the cache stores the (G, D) transpose
+    return (words.reshape(B, H, Dw, T),
+            jnp.swapaxes(scale.reshape(B, H, D, G), -1, -2),
+            jnp.swapaxes(mn.reshape(B, H, D, G), -1, -2))
 
 
 @functools.partial(jax.jit, static_argnames=("group_size", "bits", "t_block"))

@@ -118,7 +118,7 @@ def test_quantize_pack_k_matches_reference(bits):
     # divide); dequantized values must agree within one scale step.
     d_ref = Q.dequantize_k(ref_c, ref_s, ref_m, gs, bits)
     d_got = Q.dequantize_k(got_c, got_s, got_m, gs, bits)
-    step = np.repeat(np.asarray(ref_s), gs, axis=-1)
+    step = np.repeat(np.asarray(jnp.swapaxes(ref_s, -1, -2)), gs, axis=-1)
     assert np.all(np.abs(np.asarray(d_got - d_ref)) <= step + 1e-6)
     exact = (np.asarray(got_c) == np.asarray(ref_c)).mean()
     assert exact > 0.999

@@ -73,12 +73,12 @@ def test_k_block_roundtrip(bits):
     k_t = jax.random.normal(jax.random.PRNGKey(2), (B, H, D, T), jnp.float32)
     k_codes, k_scale, k_mn = Q.quantize_k_block(k_t, gs, bits)
     assert k_codes.shape == (B, H, D // (32 // bits), T)
-    assert k_scale.shape == (B, H, D, T // gs)
+    assert k_scale.shape == (B, H, T // gs, D)
     deq = Q.dequantize_k(k_codes, k_scale, k_mn, gs, bits)
     assert deq.shape == k_t.shape
     # groups must be along T: a channel with huge outlier should not pollute
     # other channels' error.  Check elementwise bound instead:
-    scale_e = jnp.repeat(k_scale, gs, axis=-1)
+    scale_e = jnp.repeat(jnp.swapaxes(k_scale, -1, -2), gs, axis=-1)
     assert bool(jnp.all(jnp.abs(deq - k_t) <= scale_e * 0.5 + 1e-6))
 
 

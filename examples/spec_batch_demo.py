@@ -19,6 +19,10 @@ import time
 import jax
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
+
 from kivi_tpu.config import ModelConfig, QuantConfig
 from kivi_tpu.models import modeling
 from kivi_tpu.serving.batcher import ContinuousBatcher, Request

@@ -30,15 +30,18 @@ from kivi_tpu.models import modeling
 from kivi_tpu.serving.engine import Engine
 
 
-def make_cfg(layers: int) -> ModelConfig:
+def make_cfg(layers: int, kv_heads: int = 32,
+             max_pos: int = 4096) -> ModelConfig:
     # Llama-2-7b attention geometry (MHA, the reference's mem_spd model);
     # default depth 8 leaves HBM room for multi-GB caches on one v5e,
     # `--layers 32 --ctx 2048 --batch N` is the full-depth check (the
     # per-layer decode cost must be depth-independent).
+    # `--kv-heads 8` switches to the Llama-3/Mistral GQA ratio (r=4).
     return ModelConfig(
         vocab_size=32000, hidden_size=4096, intermediate_size=11008,
-        num_layers=layers, num_heads=32, num_kv_heads=32, head_dim=128,
-        rope_theta=10000.0, max_position_embeddings=4096,
+        num_layers=layers, num_heads=32, num_kv_heads=kv_heads,
+        head_dim=128, rope_theta=10000.0,
+        max_position_embeddings=max_pos,
     )
 
 
@@ -160,9 +163,11 @@ def main():
     ap.add_argument("--batch", type=int, default=0,
                     help="fixed batch for BOTH configs (0 = per-config "
                          "max batch, the headline methodology)")
+    ap.add_argument("--kv-heads", type=int, default=32)
     args = ap.parse_args()
-    CFG, CTX, PROMPT, STEPS = (make_cfg(args.layers), args.ctx,
-                               args.prompt, args.steps)
+    CFG, CTX, PROMPT, STEPS = (
+        make_cfg(args.layers, args.kv_heads, max(4096, args.ctx)),
+        args.ctx, args.prompt, args.steps)
 
     on_tpu = jax.default_backend() == "tpu"
     impl = "pallas" if on_tpu else "jnp"

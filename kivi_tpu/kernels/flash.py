@@ -74,7 +74,8 @@ def _flash_kernel(pad_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
         v = v_ref[0]                       # (blk_k, D) bf16
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT) * sm_scale
 
         qpos = q_start + jax.lax.broadcasted_iota(
             jnp.int32, (blk_q, blk_k), 0)
@@ -98,7 +99,8 @@ def _flash_kernel(pad_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 

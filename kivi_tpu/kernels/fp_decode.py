@@ -52,7 +52,8 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         q = q_ref[0]                                   # (r, D) bf16
         k = k_ref[0]                                   # (D, blk_t) bf16
         v = v_ref[0]                                   # (blk_t, D) bf16
-        s = jnp.dot(q, k, preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.dot(q, k, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT) * sm_scale
         pos = t0 + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         mask = jnp.logical_and(pos < length, pos >= lo)
         if sliding_window is not None:
@@ -67,7 +68,8 @@ def _kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
             l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
             l_scr.shape)
         acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
 
     @pl.when(it == nt - 1)

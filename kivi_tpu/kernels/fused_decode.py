@@ -58,7 +58,14 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     nt = T // C
     r = q_ref.shape[1]
     D = q_ref.shape[2]
-    kw = dict(preferred_element_type=jnp.float32)
+    # precision pinned EXPLICITLY: under KIVI_TPU_REAL the test
+    # conftest sets jax_default_matmul_precision=highest for the
+    # jnp f32 oracles, and fp32-precision bf16 matmuls no longer
+    # lower in Mosaic (r4 toolchain: 'Bad lhs type').  Kernel
+    # accuracy is the quantization-noise class; bf16 MXU is the
+    # design point.
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
 
     q = q_ref[0]                                           # (r, D) cdt
     # zero-point projections, hoisted once (tiny).  K scale/zp planes

@@ -99,7 +99,14 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     Fk = float({2: 128, 4: 16, 8: 1}[k_bits])
     Fv = float({2: 128, 4: 16, 8: 1}[v_bits])
     expo = jnp.uint32(0x3F80_3F80)
-    kw = dict(preferred_element_type=jnp.float32)
+    # precision pinned EXPLICITLY: under KIVI_TPU_REAL the test
+    # conftest sets jax_default_matmul_precision=highest for the
+    # jnp f32 oracles, and fp32-precision bf16 matmuls no longer
+    # lower in Mosaic (r4 toolchain: 'Bad lhs type').  Kernel
+    # accuracy is the quantization-noise class; bf16 MXU is the
+    # design point.
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
 
     def unpack_rows(words, bits, j):
         """j-th block of bf16 'value' rows from packed u32 word rows.

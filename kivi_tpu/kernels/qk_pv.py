@@ -46,7 +46,10 @@ def _dot_kw(compute_dtype):
     if compute_dtype == jnp.float32:
         return dict(preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
-    return dict(preferred_element_type=jnp.float32)
+    # pinned DEFAULT (not inherited): fp32-precision bf16 matmuls fail
+    # Mosaic lowering under the real-TPU suite's global highest default
+    return dict(preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
 
 
 def _unpack_codes(words, bits: int, compute_dtype):

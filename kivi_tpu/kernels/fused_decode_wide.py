@@ -546,7 +546,15 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
     if scale_block is not None:
         SB = scale_block
     elif cg_ % stile == 0 and cg_ % 8 == 0:
-        SB = cg_ if nt <= 8 else min(4 * cg_, Tg)
+        # 4 chunks per block when the grid is long AND it divides the
+        # plane (T need not be a power of two: T = 10*C has Tg % 4cg
+        # != 0 — fall back through 2cg to cg)
+        SB = cg_
+        if nt > 8:
+            for mult in (4, 2):
+                if Tg % (mult * cg_) == 0:
+                    SB = mult * cg_
+                    break
     elif cg_ % stile == 0:
         SB = cg_
     else:

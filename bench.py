@@ -100,7 +100,9 @@ def max_batch(cfg, qcfg, ctx) -> int:
     budget = HBM_BYTES - reserve - param_bytes(cfg)
     per = cache_bytes_per_seq(cfg, qcfg, ctx)
     b = int(budget // per)
-    return max(4, (b // 4) * 4)
+    # multiples of 4 when room allows; at 32K-class contexts the fp16
+    # cache fits only 1-3 sequences — rounding UP there would OOM
+    return (b // 4) * 4 if b >= 4 else max(1, b)
 
 
 def _sync(x) -> float:

@@ -270,7 +270,6 @@ class SpeculativeEngine:
         batched SpeculativeBatcher)."""
         tgt, drf, k = self.target, self.draft, self.k
         qt, qd = tgt.qcfg, drf.qcfg
-        OUT = max_new + k + 2          # block overshoot headroom
 
         def flush_all(caches, qcfg, impl):
             if not qcfg.quantize_kv:

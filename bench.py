@@ -99,6 +99,20 @@ def max_batch(cfg, qcfg, ctx) -> int:
     reserve = RESERVE_KIVI if qcfg.quantize_kv else RESERVE_FP
     budget = HBM_BYTES - reserve - param_bytes(cfg)
     per = cache_bytes_per_seq(cfg, qcfg, ctx)
+    if not qcfg.quantize_kv:
+        # one-shot prefill's MLP activations are O(B*PROMPT*inter):
+        # negligible next to an MHA cache (45 vs 512 MiB/seq) but the
+        # binding constraint at GQA geometry, where the small cache
+        # admits 70+ sequences (measured OOM at batch 76)
+        per += PROMPT * cfg.intermediate_size * 2 * 2
+    else:
+        # chunked prefill's per-seq transients (MLP temps + the flash-
+        # extend f32 partials + window/self logit halves, all at chunk
+        # granularity) — negligible at MHA batches, binding at GQA
+        # where the 28 MiB/seq cache admits 300+ sequences (measured:
+        # batch 368 was 2.3 GiB over with no accounting, 308 still
+        # 343 MiB over with MLP-only accounting)
+        per += PREFILL_CHUNK * cfg.intermediate_size * 2 * 3
     b = int(budget // per)
     # multiples of 4 when room allows; at 32K-class contexts the fp16
     # cache fits only 1-3 sequences — rounding UP there would OOM

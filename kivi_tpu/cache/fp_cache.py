@@ -164,6 +164,17 @@ def fp_decode_attention(q: jax.Array, cache: FpLayerCache,
     qg = q.reshape(B, Hkv, r, D)
     if impl == "pallas":
         from kivi_tpu.kernels.fp_decode import fp_decode_attention_kernel
+        if fill_bound is not None:
+            # same silent-truncation contract as the wide kernel's
+            # t_bound: raise under Engine(debug=True), no-op otherwise
+            from kivi_tpu.utils.guards import debug_check
+            debug_check(
+                jnp.all(jnp.asarray(cache.length) <= fill_bound),
+                "fp_decode t_bound violated: length={n} exceeds "
+                "fill_bound={fb} — attention would be silently "
+                "truncated",
+                n=jnp.max(jnp.asarray(cache.length)),
+                fb=jnp.int32(fill_bound))
         out = fp_decode_attention_kernel(
             qg, cache.k, cache.v, cache.length,
             sliding_window=sliding_window, pad_len=pad_len,

@@ -117,6 +117,19 @@ def decode_attention(q: jax.Array, cache: KiviLayerCache, qcfg: QuantConfig,
             # bound (the elided spare step lets the window phase's
             # pinned DMA prefetch; docs/artifacts probe_serving_fill)
             tb = -((fill_bound + chunk) // -chunk) * chunk
+            # t_bound caller contract (fused_decode_wide docstring): a
+            # violated bound silently truncates attention.  Under
+            # Engine(debug=True) this raises instead (no-op otherwise).
+            from kivi_tpu.utils.guards import debug_check
+            debug_check(
+                jnp.all(jnp.asarray(cache.n_k_quant) <= tb)
+                & jnp.all(jnp.asarray(cache.n_v_quant) + W <= tb),
+                "wide-kernel t_bound violated: n_k_quant={nkq} or "
+                "n_v_quant={nvq}+W exceeds t_bound={tb} — attention "
+                "would be silently truncated",
+                nkq=jnp.max(jnp.asarray(cache.n_k_quant)),
+                nvq=jnp.max(jnp.asarray(cache.n_v_quant)),
+                tb=jnp.int32(tb))
         out = fused_decode_attention_wide(
             q.reshape(B, Hkv, r, D), cache.k_codes, cache.k_scale,
             cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,

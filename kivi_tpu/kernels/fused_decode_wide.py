@@ -542,10 +542,14 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
     # 8-aligned via cg_ % 8 == 0) or be the whole plane; resident VMEM
     # is 2*2*Hg*SB*D*2 bytes (double-buffered scale+zp), so SB stays
     # small next to the code blocks (SB=256 at 32K failed to fit).
-    stile = 8 if jnp.dtype(k_scale.dtype) == jnp.dtype(jnp.float32) else 16
+    # stile must reflect the dtype actually staged into VMEM — the
+    # operand passed to pallas_call is k_scale.astype(compute_dtype),
+    # not the cache dtype (an f32 scale cache with cg_ ≡ 8 mod 16 would
+    # otherwise pick an 8-sublane block on a bf16 operand).
+    stile = 8 if jnp.dtype(compute_dtype) == jnp.dtype(jnp.float32) else 16
     if scale_block is not None:
         SB = scale_block
-    elif cg_ % stile == 0 and cg_ % 8 == 0:
+    elif cg_ % stile == 0:
         # 4 chunks per block when the grid is long AND it divides the
         # plane (T need not be a power of two: T = 10*C has Tg % 4cg
         # != 0 — fall back through 2cg to cg)
@@ -555,8 +559,6 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
                 if Tg % (mult * cg_) == 0:
                     SB = mult * cg_
                     break
-    elif cg_ % stile == 0:
-        SB = cg_
     else:
         SB = Tg
     assert (SB == Tg or (Tg % SB == 0 and SB % cg_ == 0

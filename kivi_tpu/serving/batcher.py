@@ -522,9 +522,18 @@ class ContinuousBatcher:
         if not self.active.any():
             return
         self.rng, sub = jax.random.split(self.rng)
-        # live-fill bound: this step appends one token per active slot
+        # live-fill bound: this step appends one token per active slot.
+        # INVARIANT: fb covers ACTIVE slots only — a retired slot's
+        # cache counters may exceed it, violating the wide kernel's
+        # t_bound contract for that slot (silent attention truncation).
+        # That is safe ONLY because inactive slots' sampled tokens are
+        # masked and their cache writes act-gated; their attention
+        # outputs must never be consumed.  Do not start reading them.
         fb = int(min(-((int(self.fill[self.active].max()) + 1) // -512)
                      * 512, self.T))
+        if __debug__:
+            assert all(self.fill[s] + 1 <= fb or not self.active[s]
+                       for s in range(self.S))
         nxt, self.caches, self.seen_dev = self._decode_for(fb)(
             self.params, self.cur_tok, self.pos, self.caches, self.act_dev,
             self.pad_dev, sub, self.temp_dev, self.topk_dev, self.topp_dev,

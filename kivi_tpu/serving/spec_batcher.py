@@ -185,6 +185,17 @@ class SpeculativeBatcher(ContinuousBatcher):
                              "(no temperature / repetition penalty)")
         if req.prefix_tokens is not None:
             raise ValueError("SpeculativeBatcher does not take prefixes")
+        # a slot commits up to k+1 tokens per step, so the final step
+        # may overshoot the emitted count by up to k — reserve that
+        # headroom beyond the base admission check (which only covers
+        # bucket + max_new_tokens) so per-slot caps never reach 0.
+        bucket = self._bucket_for(len(req.prompt))
+        if (bucket is None
+                or bucket + req.max_new_tokens + self.k > self.T):
+            raise ValueError(
+                f"prompt bucket + max_new_tokens + k exceeds "
+                f"max_seq_len ({self.T}) — request cannot run "
+                f"speculatively without overflowing its slot cache")
         super().submit(req)
 
     def _make_draft_prefill(self, bucket: int):
@@ -263,7 +274,10 @@ class SpeculativeBatcher(ContinuousBatcher):
             self.d_caches = self._flush_d(self.d_caches, self.act_dev)
         cap_t = self._caps("target", self.qcfg)
         cap_d = self._caps("draft", self.dqcfg)
-        keff = np.minimum(k, np.minimum(cap_t, cap_d) - 1)
+        # lower clamp mirrors speculative.py: cap == 0 (a slot at
+        # capacity) must not drive keff to -1 and commit past capacity;
+        # submit() rejects requests that could reach cap == 0.
+        keff = np.maximum(np.minimum(k, np.minimum(cap_t, cap_d) - 1), 0)
         # 2) draft proposals: one batched (k+1)-step scan
         d_toks, self.d_caches = self._spec_draft(
             self.dparams, self.cur_tok, self.pos, self.d_caches,

@@ -221,6 +221,20 @@ class SpeculativeEngine:
 
     # -- host-side boundary discipline ---------------------------------------
 
+    def _check_capacity(self, prompt_len: int, max_new_tokens: int):
+        """Reject generations that could fill either cache: the loop
+        commits up to k+1 tokens per iteration, so the last iteration
+        may overshoot the emitted count by up to k.  Without this the
+        caps hit 0 mid-generation and keff clamps to 0 forever (fp
+        caches would then overflow via clamped writes)."""
+        cap = min(self.target.max_seq_len, self.draft.max_seq_len)
+        need = prompt_len + max_new_tokens + self.k
+        if need > cap:
+            raise ValueError(
+                f"prompt_len ({prompt_len}) + max_new_tokens "
+                f"({max_new_tokens}) + k ({self.k}) = {need} exceeds "
+                f"min(target, draft) max_seq_len = {cap}")
+
     @staticmethod
     def _wm_init(qcfg, prompt_len: int) -> dict:
         """Quantized watermarks right after prefill (prefill-canonical:
@@ -293,10 +307,14 @@ class SpeculativeEngine:
                 cur, n, count, done, out, t_caches, d_caches = state
                 t_caches = flush_all(t_caches, qt, tgt.impl)
                 d_caches = flush_all(d_caches, qd, drf.impl)
-                keff = jnp.minimum(
+                # clamp >= 0: keff == -1 would make j == -1 and
+                # n2 == n — a while_loop that never progresses (hang
+                # on-device).  The upfront capacity check in
+                # generate_device makes cap == 0 unreachable.
+                keff = jnp.maximum(jnp.minimum(
                     jnp.int32(k),
                     jnp.minimum(cap_of(t_caches, qt, tgt, n),
-                                cap_of(d_caches, qd, drf, n)) - 1)
+                                cap_of(d_caches, qd, drf, n)) - 1), 0)
 
                 def dbody(carry, _):
                     t, p, c = carry
@@ -358,6 +376,7 @@ class SpeculativeEngine:
         tgt, drf, k = self.target, self.draft, self.k
         tokens = jnp.asarray(tokens, jnp.int32).reshape(1, -1)
         Tp = tokens.shape[1]
+        self._check_capacity(Tp, max_new_tokens)
         key = (max_new_tokens, eos_token_id is not None)
         loop = getattr(self, "_dev_loops", None)
         if loop is None:
@@ -438,6 +457,7 @@ class SpeculativeEngine:
         sampled = temperature > 0
         tokens = jnp.asarray(tokens, jnp.int32).reshape(1, -1)
         Tp = tokens.shape[1]
+        self._check_capacity(Tp, max_new_tokens)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         host_rng = np.random.default_rng(
             int(jax.random.randint(jax.random.fold_in(rng, 7), (),
@@ -472,7 +492,11 @@ class SpeculativeEngine:
                                                   t_wm, N)
             d_caches, cap_d = self._sync_boundary("draft", d_caches,
                                                   d_wm, N)
-            keff = min(k, cap_t - 1, cap_d - 1)
+            # lower clamp: at cap == 0 (cache full) an unclamped keff of
+            # -1 would slice d_toks[:-1] and commit past capacity; the
+            # upfront capacity check makes cap == 0 unreachable, the
+            # clamp keeps a violated assumption from corrupting state.
+            keff = max(0, min(k, cap_t - 1, cap_d - 1))
             self.last_keff.append(keff)
             if keff < k:
                 self.stats["clamped"] += 1

@@ -14,23 +14,50 @@ reference has no equivalent; debugging there is print-and-pray.
 
 from __future__ import annotations
 
+import contextvars
 import functools
 
 import jax
 from jax.experimental import checkify
 
-ERRORS = checkify.float_checks
+ERRORS = checkify.float_checks | checkify.user_checks
+
+# True exactly while a checked_jit-wrapped program is being TRACED, so
+# invariant checks (debug_check below) are staged only into debug-mode
+# programs.  A plain jit tracing concurrently (a second, non-debug
+# Engine in the same process) never sees the flag: it is a context
+# variable scoped to the checkified trace, not a global.
+_TRACING_CHECKED = contextvars.ContextVar("kivi_tracing_checked",
+                                          default=False)
+
+
+def debug_check(pred, msg: str, **fmt):
+    """checkify.check(pred, msg) staged ONLY when tracing under
+    checked_jit (Engine(debug=True)); a no-op — zero trace residue —
+    in production programs.  Use for caller contracts whose violation
+    is otherwise silent (the wide kernel's t_bound fill bound)."""
+    if _TRACING_CHECKED.get():
+        checkify.check(pred, msg, **fmt)
 
 
 def checked_jit(fn, **jit_kwargs):
-    """jax.jit(fn) with float checkify instrumentation; the wrapper
-    re-raises any captured error eagerly after each call.
+    """jax.jit(fn) with float + user-check checkify instrumentation;
+    the wrapper re-raises any captured error eagerly after each call.
 
     Donation is dropped: checkify reads values the donated buffers
     would alias, and debug mode is not the place to optimize HBM.
     """
     jit_kwargs.pop("donate_argnums", None)
-    cfn = checkify.checkify(fn, errors=ERRORS)
+
+    @functools.wraps(fn)
+    def flagged(*args, **kwargs):
+        token = _TRACING_CHECKED.set(True)
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            _TRACING_CHECKED.reset(token)
+
+    cfn = checkify.checkify(flagged, errors=ERRORS)
     jfn = jax.jit(cfn, **jit_kwargs)
 
     @functools.wraps(fn)

@@ -46,6 +46,49 @@ def test_debug_catches_nan_weights():
         eng.generate(toks, 4)
 
 
+def _wide_cache(prompt_len, qcfg, B=1, H=4, D=128, Tmax=1024):
+    from kivi_tpu.cache.kivi_cache import init_layer_cache, prefill_ingest
+    ks = jax.random.split(jax.random.PRNGKey(1), 2)
+    cache = init_layer_cache(B, H, D, Tmax, qcfg)
+    k = jax.random.normal(ks[0], (B, H, prompt_len, D), jnp.float32)
+    v = jax.random.normal(ks[1], (B, H, prompt_len, D), jnp.float32)
+    return prefill_ingest(cache, k, v, qcfg)
+
+
+def test_debug_catches_violated_t_bound():
+    """A fill_bound below the cache's live fill must RAISE under debug
+    (production silently truncates attention — the documented caller
+    contract of the wide kernel's t_bound)."""
+    from kivi_tpu.core.attention import decode_attention
+    from kivi_tpu.utils.guards import checked_jit
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=128, v_flush=128)
+    B, H, r, D = 1, 4, 2, 128
+    cache = _wide_cache(700, qcfg, B=B, H=H, D=D)   # n_k_quant = 640
+    q = jax.random.normal(jax.random.PRNGKey(2), (B, H * r, 1, D),
+                          jnp.float32)
+    bad = checked_jit(lambda qq, cc: decode_attention(
+        qq, cc, qcfg, impl="pallas", fill_bound=0))   # t_bound -> 512
+    with pytest.raises(JaxRuntimeError, match="t_bound violated"):
+        bad(q, cache)
+
+
+def test_debug_valid_t_bound_passes_and_matches():
+    from kivi_tpu.core.attention import decode_attention
+    from kivi_tpu.utils.guards import checked_jit
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=128, v_flush=128)
+    B, H, r, D = 1, 4, 2, 128
+    cache = _wide_cache(300, qcfg, B=B, H=H, D=D)   # n_k_quant = 256
+    q = jax.random.normal(jax.random.PRNGKey(2), (B, H * r, 1, D),
+                          jnp.float32)
+    ok = checked_jit(lambda qq, cc: decode_attention(
+        qq, cc, qcfg, impl="pallas", fill_bound=300))
+    ref = decode_attention(q, cache, qcfg, impl="jnp")
+    np.testing.assert_allclose(np.asarray(ok(q, cache)), np.asarray(ref),
+                               rtol=3e-2, atol=3e-2)
+
+
 def test_plain_mode_has_no_guard_overhead_trace():
     """Without debug the jitted program contains no checkify plumbing
     (the error-state carry would show up as extra outputs)."""

@@ -71,10 +71,11 @@ HBM_BYTES = int(15.75 * 1024**3)  # v5e (XLA reports 15.75G usable)
 # unaffected either way; prefill is untimed setup.
 RESERVE_FP = 3.0 * 1024**3
 RESERVE_KIVI = 2.5 * 1024**3
-# 128 (not 512): the extend step's window+causal-self halves are jnp and
-# materialize O(B*T1*(W+T1)) logits — 128 keeps them ~1.2 GiB at the
-# max-batch geometry (512 measured 5+ GiB, 256 still 1.6 GiB over ->
-# OOM at batch 88).  Prefill is untimed setup; step count is irrelevant.
+# The full extend megakernel (r5) keeps window+self in-kernel — no
+# O(B*T1*(W+T1)) HBM logits, so 256/512 no longer OOM — and prefill
+# went 44.9 -> 3.3 s steady-state at B=88 regardless of chunk (128 and
+# 256 measured equal; the r4 wall was the jnp halves, not chunk
+# count).  128 keeps the r4 max-batch transient accounting unchanged.
 PREFILL_CHUNK = 128
 BASELINE_SPEEDUP = 2.35    # reference README.md:29 lower bound
 

@@ -367,17 +367,32 @@ def _extend_ws_logits(qg, k_new, cache: KiviLayerCache, *,
 def _extend_attention_flash(qg, k_new, v_new, cache: KiviLayerCache,
                             qcfg: QuantConfig, *, sliding_window,
                             pad_len) -> jax.Array:
-    """Flash-kernel extend attention: the quantized history runs
-    through kernels/flash_extend.py with ONLINE softmax (no
-    O(T1 * Tmax) logits in HBM); the small window + self halves stay in
-    jnp and the three merge by the standard flash combination."""
-    from kivi_tpu.kernels.flash_extend import flash_extend_qhist
+    """Flash-kernel extend attention.  Preferred path: the FULL extend
+    megakernel (kernels/flash_extend.flash_extend_attention) — history,
+    fp windows and the causal self block all in-kernel, normalized
+    output, no HBM logits at all (the jnp window+self halves'
+    O(B*T1*(W+T1)) temporaries pinned chunked prefill to 128-token
+    chunks).  Unaligned geometries fall back to the qhist-partial
+    kernel + jnp window/self merge."""
+    from kivi_tpu.kernels.flash_extend import (flash_extend_attention,
+                                               flash_extend_full_supported,
+                                               flash_extend_qhist)
 
     B, Hkv, r, T1, D = qg.shape
     W = qcfg.residual_length
     Tmax = cache.max_seq_len
     sm_scale = 1.0 / (D ** 0.5)
     nkq, nvq = cache.n_k_quant, cache.n_v_quant
+
+    if flash_extend_full_supported(Tmax, W, T1, r, qcfg.group_size):
+        out = flash_extend_attention(
+            qg.reshape(B, Hkv, r * T1, D), cache.k_codes, cache.k_scale,
+            cache.k_mn, cache.v_codes, cache.v_scale, cache.v_mn,
+            cache.k_win, cache.v_win, k_new, v_new, nkq, cache.n_k_win,
+            nvq, cache.seq_len, group_size=qcfg.group_size,
+            k_bits=qcfg.k_bits, v_bits=qcfg.v_bits, t1=T1,
+            sliding_window=sliding_window or 0, pad_len=pad_len)
+        return out.reshape(B, Hkv * r, T1, D)
 
     acc_q, m_q, l_q = flash_extend_qhist(
         qg.reshape(B, Hkv, r * T1, D), cache.k_codes, cache.k_scale,

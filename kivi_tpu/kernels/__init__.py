@@ -8,7 +8,8 @@ the full test suite works on CPU.
 
 from kivi_tpu.kernels.qk_pv import qk_dequant_matmul, pv_dequant_matmul
 from kivi_tpu.kernels.flash import flash_attention
-from kivi_tpu.kernels.flash_extend import flash_extend_qhist
+from kivi_tpu.kernels.flash_extend import (flash_extend_attention,
+                                           flash_extend_qhist)
 from kivi_tpu.kernels.fp_decode import fp_decode_attention_kernel
 from kivi_tpu.kernels.fused_decode import fused_decode_attention
 from kivi_tpu.kernels.quant_pack import quantize_pack_k, quantize_pack_v

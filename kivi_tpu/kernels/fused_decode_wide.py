@@ -73,7 +73,17 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             m_scr, l_scr, acc_scr, vals_scr,
             pwin_scr, maskv_scr, pfold_scr, maskg_scr, p_scr, *,
             k_bits: int, v_bits: int, gs: int, C: int, W: int, r: int,
-            T: int, nt: int, sbg: int, sm_scale: float, cdt):
+            T: int, nt: int, sbg: int, sm_scale: float, cdt,
+            ablate: str | None = None, v_subblock: int | None = None):
+    # ablate: PROFILING hook (scripts/attribution_r5.py) — statically
+    # removes one cost component so on-chip differencing attributes the
+    # kernel's time.  Output is garbage under ablation; None = prod.
+    #   "compute": empty chunk+window bodies (DMA + dispatch floor)
+    #   "chunk":   skip the whole chunk body
+    #   "kunpack": skip the K unpack/staging loop (QK reads stale scratch)
+    #   "qk":      skip K unpack + QK dots (V path still runs)
+    #   "vquant":  skip the quantized-V contribution
+    #   "window":  skip the window/strip phase (normalize only)
     # nt: number of CHUNK grid steps — T//C for a full sweep, fewer
     # under a static live-fill bound (t_bound): the arrays keep their
     # full T blocks, the grid just never visits chunks the caller
@@ -183,6 +193,24 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         acc_scr[:] = acc_scr[:] * alpha
         return p
 
+    # V-dot head sub-blocking (round 5 experiment, default OFF): the
+    # one-dot form contracts (HR, n) x (n, Hkv*vdw2) — every query row
+    # against EVERY folded head's value channels, issued MACs ∝ Hg^2
+    # with only the own-head 1/Hg surviving the mask.  Splitting heads
+    # into sub-blocks of hb cuts that to ∝ Hg*hb, but the measured
+    # sweep (docs/artifacts/v_subblock_r5.txt) shows EVERY sub-block
+    # width losing to the single dot — serving fill: single 0.765 ms,
+    # hb=16 0.901, hb=8 2.09; the kernel is DMA-bound and the
+    # redundant MACs ride idle MXU cycles while extra dot issues and
+    # sub-tile row padding are pure cost.  The knob stays for future
+    # geometries (e.g. much larger folds) where the quadratic term
+    # could bite.
+    if v_subblock is not None:
+        hbv = v_subblock
+        assert Hkv % hbv == 0
+    else:
+        hbv = Hkv
+
     def quant_v_contrib(p, words3, vs3, vm3, pos0):
         """(HR, D) quantized-V contribution for one n-column span.
 
@@ -191,8 +219,9 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         (>= nvq) columns contribute 0.
         """
         n = words3.shape[-1]
-        pc = p.astype(cdt)
         vlive = (pos0 + _iota((1, n), 1) < nvq).astype(cdt)
+        pc = p.astype(cdt) * vlive                 # dead cols masked ONCE
+        p32 = pc.astype(jnp.float32)
         vwords = words3.reshape(Hkv * words3.shape[1], n)
         if not v_bcast:
             # one-hot rho-row expansion fallback (gs < vdw2)
@@ -201,8 +230,11 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             dd2 = rho2 % vdw2  # channel offset inside the j-block
             vscale = vs3.reshape(Hkv * Dg, n).astype(cdt) * cdt(Fv)
             vmn = vm3.reshape(Hkv * Dg, n).astype(cdt)
-        acc_add = jnp.zeros((HR, D), jnp.float32)
         consts = []
+        nbb = Hkv // hbv
+        rb, cb = hbv * r, hbv * vdw2       # rows / value-cols per block
+        row_acc = [jnp.zeros((rb, D), jnp.float32) for _ in range(nbb)]
+        acc_add = None
         for j in range(njv):
             vals_j = unpack_rows(vwords, v_bits, j)
             if v_bcast:
@@ -215,12 +247,22 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
                 if r > 1:
                     vs_row = jnp.repeat(vs_row, r, axis=0)
                     vm_row = jnp.repeat(vm_row, r, axis=0)   # (HR, n)
-                p2 = pc * vs_row * vlive                     # (HR, n)
+                p2 = pc * vs_row                             # (HR, n)
                 consts.append(jnp.sum(
-                    p * (vm_row * vlive).astype(jnp.float32),
+                    p32 * vm_row.astype(jnp.float32),
                     axis=-1, keepdims=True))                 # (HR, 1) f32
-                ow_j = jax.lax.dot_general(p2.astype(cdt), vals_j,
-                                           (((1,), (1,)), ((), ())), **kw)
+                for b in range(nbb):
+                    ow_b = jax.lax.dot_general(
+                        p2[b * rb:(b + 1) * rb, :].astype(cdt),
+                        vals_j[b * cb:(b + 1) * cb, :],
+                        (((1,), (1,)), ((), ())), **kw)      # (rb, cb)
+                    col0 = j * nbv + b * cb
+                    ow_b = ow_b * maskv_scr[
+                        b * rb:(b + 1) * rb,
+                        col0:col0 + cb].astype(jnp.float32)
+                    row_acc[b] = row_acc[b] + jnp.dot(
+                        ow_b.astype(cdt),
+                        pfold_scr[col0:col0 + cb, :], **kw)
             else:
                 ev_j = jnp.logical_and(
                     hh == _iota((Hkv * Dg, nbv), 0) // Dg,
@@ -236,11 +278,14 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
                 vcols_j = (vals_j * vs_j + vm_j) * vlive
                 ow_j = jax.lax.dot_general(pc, vcols_j,
                                            (((1,), (1,)), ((), ())), **kw)
-            ow_j = ow_j * maskv_scr[:, j * nbv:(j + 1) * nbv].astype(
-                jnp.float32)
-            acc_add = acc_add + jnp.dot(
-                ow_j.astype(cdt), pfold_scr[j * nbv:(j + 1) * nbv, :],
-                **kw)
+                ow_j = ow_j * maskv_scr[:, j * nbv:(j + 1) * nbv].astype(
+                    jnp.float32)
+                fold_j = jnp.dot(ow_j.astype(cdt),
+                                 pfold_scr[j * nbv:(j + 1) * nbv, :], **kw)
+                acc_add = fold_j if acc_add is None else acc_add + fold_j
+        if v_bcast:
+            acc_add = (row_acc[0] if nbb == 1
+                       else jnp.concatenate(row_acc, axis=0))
         if consts:
             acc_add = acc_add + jnp.concatenate(
                 [jnp.broadcast_to(c, (HR, vdw2)) for c in consts], axis=1)
@@ -251,8 +296,11 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
     # materializing the full (HD, C) dequantized tiles blows the 16 MB
     # VMEM budget at T=4096; the per-block form keeps every temporary at
     # (Hkv*2Dw, C) while issuing the same total MXU work.
-    @pl.when(jnp.logical_and(jnp.logical_and(it < nt, it * C < nkq),
-                             (it + 1) * C > lo))
+    run_chunk = ablate not in ("compute", "chunk")
+
+    @pl.when(jnp.logical_and(
+        jnp.logical_and(it < nt, it * C < nkq),
+        jnp.logical_and((it + 1) * C > lo, run_chunk)))
     def _chunk():
         t0 = it * C
         kwords = kw_ref[0].reshape(Hkv * kw_ref.shape[2], C)
@@ -273,11 +321,12 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
         # passes.  The group structure collapses back out of the
         # product by a sublane reduction against the static group mask.
         # unpack into HEAD-MAJOR scratch: one head's channels contiguous
-        for j in range(njk):
-            vals_j = unpack_rows(kwords, k_bits, j)
-            for h in range(Hkv):
-                vals_scr[h * D + j * kdw2:h * D + (j + 1) * kdw2, :] = (
-                    vals_j[h * kdw2:(h + 1) * kdw2, :])
+        if ablate not in ("kunpack", "qk"):
+            for j in range(njk):
+                vals_j = unpack_rows(kwords, k_bits, j)
+                for h in range(Hkv):
+                    vals_scr[h * D + j * kdw2:h * D + (j + 1) * kdw2,
+                             :] = vals_j[h * kdw2:(h + 1) * kdw2, :]
         if sbg == cg:
             sblk, zblk = ks_ref[0], km_ref[0]    # (Hg, cg, D)
             srows_of = lambda h: sblk[h]         # block == this chunk
@@ -291,6 +340,15 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
             zrows_of = lambda h: km_ref[0, h, pl.ds(boff, cg), :]
         qn = q_ref[0].astype(cdt) * cdt(sm_scale)            # (HR, D)
         gmask = maskg_scr[:]
+        if ablate == "qk":
+            s0 = jnp.zeros((HR, C), jnp.float32)
+            pos_row0 = t0 + _iota((HR, C), 1)
+            p0 = online(jnp.where(
+                jnp.logical_and(pos_row0 < nkq, pos_row0 >= lo),
+                s0, NEG_INF))
+            acc_scr[:] = acc_scr[:] + quant_v_contrib(
+                p0, vw_ref[0], vs_ref[0], vm_ref[0], t0)
+            return
         srows = []
         for h in range(Hkv):
             s_h = srows_of(h).astype(cdt) * cdt(Fk)          # (cg, D)
@@ -320,8 +378,9 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
                       s, NEG_INF)
 
         p = online(s)
-        acc_scr[:] = acc_scr[:] + quant_v_contrib(
-            p, vw_ref[0], vs_ref[0], vm_ref[0], t0)
+        if ablate != "vquant":
+            acc_scr[:] = acc_scr[:] + quant_v_contrib(
+                p, vw_ref[0], vs_ref[0], vm_ref[0], t0)
 
         # strip capture: probabilities of positions [nvq, nvq+W).  The
         # strip start is 128-aligned (v_flush % 128 == 0) but the strip
@@ -347,6 +406,13 @@ def _kernel(cnt_ref, q_ref, kw_ref, ks_ref, km_ref, vw_ref, vs_ref, vm_ref,
                     p_scr[:, pl.ds(off, 128)])
 
     # ---- final step: fp key window + value-window/strip resolution -------
+    if ablate in ("compute", "window"):
+        @pl.when(it == nt)
+        def _norm_only():
+            l = l_scr[:, :1]
+            o_ref[0] = acc_scr[:] / jnp.where(l > 0, l, 1.0)
+        return
+
     @pl.when(it == nt)
     def _window():
         q = q_ref[0].astype(cdt) * cdt(sm_scale)
@@ -422,44 +488,50 @@ def wide_kernel_supported(Tmax: int, W: int, v_flush: int, k_bits: int,
 def choose_chunk(Tmax: int, W: int, v_flush: int, k_bits: int,
                  v_bits: int, *, group_size: int = 32, r: int = 1,
                  long_context: int = 8192) -> int:
-    """Chunk size for the wide kernel, by context length.
+    """Chunk size for the wide kernel: C=512 everywhere since round 5.
 
-    C=512 wins the short-context serving regime end-to-end (the C=1024
-    kernel-level win at 4K, 2.99 vs 3.36 ms, did NOT survive bench.py at
-    B=72: 1,966 vs 2,001 tok/s).  At long contexts the chunk loop
-    dominates and halving the per-chunk fixed work (unpack dispatch,
-    masks, online-softmax bookkeeping) is pure profit: 32K measured
-    1.90 -> 1.34 ms/call (qfold kernel, B=4 MHA).  The pre-qfold compile
-    blowup that kept C=1024 off the table (>15 min at 32K) died with the
-    one-hot expand dot.  Falls back to 512 whenever 1024 is illegal for
-    the geometry (e.g. cg*r > 128 at large GQA folds)."""
-    for C in ((1024, 512) if Tmax >= long_context else (512,)):
-        if wide_kernel_supported(Tmax, W, v_flush, k_bits, v_bits,
-                                 chunk=C, group_size=group_size, r=r):
-            return C
+    C=512 always won the short-context serving regime end-to-end; the
+    r4 long-context C=1024 advantage (halved per-chunk fixed work, 32K
+    1.90 -> 1.34 ms under the Hg=16 fold) is superseded by the Hg=32
+    fold, which amortizes the same fixed work over twice the rows at
+    C=512 and measures at or below C=1024-Hg16 in interleaved A/B
+    (16K full: 1.12 vs 1.61 ms; 32K full: 1.49 vs 1.66;
+    /tmp sweeps behind docs/artifacts/v_subblock_r5.txt).  C=1024 is
+    also operationally fragile on the current toolchain: its much
+    larger unrolled Mosaic program intermittently kills the remote
+    compile helper (HTTP 500 streaks across all helper ports) and
+    Hg=32 at C=1024 is over the scoped-VMEM budget, so the fold would
+    have to shrink exactly where it buys the most."""
+    del long_context
     return 512
 
 
 def default_head_fold(Hkv: int, r: int, D: int, Tg: int,
                       chunk: int = 512) -> int:
-    """Largest Hg dividing Hkv with Hg*r <= 32 rows, Hg <= 16 (Hg=32
-    fails to compile at useful chunk sizes), and the per-chunk dequant
-    temporaries (the (Hg*D, C) scaled-values tile and its j-block
-    parts, ~4*Hg*D*C bytes) bounded to ~8 MiB of VMEM.  Measured sweep
-    at the 4K bench geometry (B=32): (16, 512) 3.36 ms, (16, 1024)
-    2.99 ms, (32, 256) 3.47, (8, 512) 4.40 — but the C=1024 kernel win
-    did NOT survive to the end-to-end bench (B=72: 1,966 vs 2,001
-    tok/s) and its 32K compile ran past 15 minutes, so 512 stays the
-    default.
+    """Largest Hg dividing Hkv with Hg*r <= 32 rows and the per-chunk
+    dequant temporaries (the (Hg*D, C) scaled-values tile and its
+    j-block parts, ~4*Hg*D*C bytes) bounded to ~16 MiB of scoped VMEM
+    (the pallas_call raises Mosaic's default scoped-vmem limit to
+    24 MiB — that limit, not hardware, was why Hg=32 "failed to
+    compile" through round 4: the error is `exceeded scoped vmem limit
+    by 356K`, scripts/attribution_r5.py probe).  Hg=32 at C=512 is the
+    round-5 serving-regime winner: 1.33 -> 0.77 ms at B=72 fill=1280,
+    3.84 -> 2.89 ms at the full 4K cache (docs/artifacts/
+    v_subblock_r5.txt) — half the programs, each amortizing window
+    phase and per-chunk fixed work over 32 MXU rows.  At C=1024 the
+    16 MiB bound folds back to Hg=16 automatically.
 
     Since the chunked-scale layout the bound is CONTEXT-LENGTH-
     INDEPENDENT (Tg is accepted for call-site compatibility but no
     longer governs): the same fold that wins at 4K stays legal at 32K,
     where the old full-width scale planes collapsed it to Hg<=2."""
     hg = 1
-    for cand in (2, 4, 8, 16):
+    for cand in (2, 4, 8, 16, 32):
+        # 12 MiB: admits Hg=32 at C=512 and Hg=16 at C=1024 (both
+        # 8.4 MiB), rejects Hg=32 at C=1024 (16.8 MiB — reliably over
+        # the 24 MiB scoped limit once blocks and scratch stack up)
         if (Hkv % cand == 0 and cand * r <= 32
-                and 4 * cand * D * chunk <= (8 << 20)):
+                and 4 * cand * D * chunk <= (12 << 20)):
             hg = cand
     return hg
 
@@ -467,7 +539,8 @@ def default_head_fold(Hkv: int, r: int, D: int, Tg: int,
 @functools.partial(
     jax.jit, static_argnames=("group_size", "k_bits", "v_bits", "chunk",
                               "compute_dtype", "head_fold", "t_bound",
-                              "scale_block", "no_pinned_v"))
+                              "scale_block", "no_pinned_v", "_ablate",
+                              "v_subblock"))
 def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
                                 v_scale, v_mn, k_win, v_win, n_k_quant,
                                 n_k_win, n_v_quant, *, group_size: int,
@@ -477,7 +550,9 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
                                 pad_len=None,
                                 t_bound: int | None = None,
                                 scale_block: int | None = None,
-                                no_pinned_v: bool = False):
+                                no_pinned_v: bool = False,
+                                _ablate: str | None = None,
+                                v_subblock: int | None = None):
     """qg (B,Hkv,r,D) + KiviLayerCache arrays -> (B,Hkv,r,D) f32.
 
     head_fold (Hg): KV heads folded into one program (must divide Hkv).
@@ -566,7 +641,7 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
     kernel = functools.partial(
         _kernel, k_bits=k_bits, v_bits=v_bits, gs=gs, C=C, W=W, r=r, T=T,
         nt=ntb, sbg=SB, sm_scale=1.0 / (D ** 0.5),
-        cdt=compute_dtype)
+        cdt=compute_dtype, ablate=_ablate, v_subblock=v_subblock)
     full = lambda i, t, *_: (i, 0, 0)
     full4 = lambda i, t, *_: (i // ng, i % ng, 0, 0)
     # Dead chunks clamp to the last live block (tail) / first live block
@@ -639,6 +714,11 @@ def fused_decode_attention_wide(qg, k_codes, k_scale, k_mn, v_codes,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B * ng, HR, D), jnp.float32),
         interpret=_use_interpret(),
+        # Mosaic's DEFAULT scoped-vmem limit rejects the Hg=32 fold by
+        # 356K; v5e has headroom and the raised cap measures faster at
+        # every geometry swept (docs/artifacts/v_subblock_r5.txt)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=24 * 1024 * 1024),
     )(
         cnt,
         qg.astype(compute_dtype).reshape(B * ng, HR, D),

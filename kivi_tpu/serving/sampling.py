@@ -101,22 +101,18 @@ def sample_step(logits: jax.Array, rng, *, temperature: float = 0.0,
                          top_p=top_p)).astype(jnp.int32)
 
 
-def sample_step_per_row(logits: jax.Array, rng, temperature: jax.Array,
+def warp_logits_per_row(logits: jax.Array, temperature: jax.Array,
                         top_k: jax.Array, top_p: jax.Array) -> jax.Array:
-    """Per-ROW sampling controls — the continuous batcher's variant:
-    each slot carries its own (temperature, top_k, top_p), all traced
-    (no per-request recompile).  temperature <= 0 rows are greedy.
-
-    Per-row top-k uses rank masking (rank of each logit within its row
-    < k); per-row top-p thresholds the sorted cumulative mass exactly
-    like apply_top_p.  Rows with top_k <= 0 / top_p >= 1 are unfiltered.
-    Semantics per row match the static sample_step (tested)."""
+    """Per-ROW warper chain (temperature -> top_k -> top_p), every
+    control traced: rank masking replaces the static lax.top_k, the
+    nucleus threshold follows apply_top_p.  Rows with temperature <= 0
+    are warped at t=1 (callers handle greedy separately).  Rows with
+    top_k <= 0 / top_p >= 1 are unfiltered."""
     B, V = logits.shape
     t = jnp.asarray(temperature, jnp.float32).reshape(B, 1)
     k = jnp.asarray(top_k, jnp.int32).reshape(B, 1)
     p = jnp.asarray(top_p, jnp.float32).reshape(B, 1)
-    greedy = t <= 0.0
-    lt = logits / jnp.where(greedy, 1.0, t)
+    lt = logits / jnp.where(t <= 0.0, 1.0, t)
 
     order = jnp.argsort(-lt, axis=-1)               # descending
     ranks = jnp.argsort(order, axis=-1)             # rank of each logit
@@ -128,10 +124,34 @@ def sample_step_per_row(logits: jax.Array, rng, temperature: jax.Array,
     prev = jnp.cumsum(probs, axis=-1) - probs
     n_keep = jnp.sum(prev < p, axis=-1, keepdims=True)  # >= 1
     thr = jnp.take_along_axis(sorted_lt, n_keep - 1, axis=-1)
-    lt = jnp.where(lt < thr, FILTER_VALUE, lt)
+    return jnp.where(lt < thr, FILTER_VALUE, lt)
 
+
+def probs_per_row(logits: jax.Array, temperature: jax.Array,
+                  top_k: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Per-row SAMPLING DISTRIBUTION: softmax of the warped logits for
+    sampled rows, a one-hot at the argmax for greedy rows
+    (temperature <= 0).  The greedy one-hot makes the Leviathan
+    accept-reject reduce exactly to greedy prefix matching, so mixed
+    greedy/sampled slots share one batched speculative accept."""
+    B, V = logits.shape
+    t = jnp.asarray(temperature, jnp.float32).reshape(B, 1)
+    w = jax.nn.softmax(warp_logits_per_row(logits, temperature, top_k,
+                                           top_p), axis=-1)
+    hot = jax.nn.one_hot(jnp.argmax(logits, -1), V, dtype=w.dtype)
+    return jnp.where(t <= 0.0, hot, w)
+
+
+def sample_step_per_row(logits: jax.Array, rng, temperature: jax.Array,
+                        top_k: jax.Array, top_p: jax.Array) -> jax.Array:
+    """Per-ROW sampling controls — the continuous batcher's variant:
+    each slot carries its own (temperature, top_k, top_p), all traced
+    (no per-request recompile).  temperature <= 0 rows are greedy.
+    Semantics per row match the static sample_step (tested)."""
+    greedy = jnp.asarray(temperature, jnp.float32) <= 0.0
+    lt = warp_logits_per_row(logits, temperature, top_k, top_p)
     sampled = jax.random.categorical(rng, lt).astype(jnp.int32)
-    return jnp.where(greedy[:, 0], jnp.argmax(logits, -1).astype(jnp.int32),
+    return jnp.where(greedy, jnp.argmax(logits, -1).astype(jnp.int32),
                      sampled)
 
 

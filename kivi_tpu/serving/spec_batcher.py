@@ -95,7 +95,14 @@ class SpeculativeBatcher(ContinuousBatcher):
         self._spec_verify = jax.jit(functools.partial(
             self._spec_verify_fn, cfg=cfg, qcfg=qcfg, impl=impl),
             donate_argnums=(3,))
+        self._spec_draft_s = jax.jit(functools.partial(
+            self._spec_draft_sample_fn, cfg=dcfg, qcfg=dqcfg, impl=impl,
+            steps=k + 1), donate_argnums=(3,))
+        self._spec_verify_s = jax.jit(functools.partial(
+            self._spec_verify_sample_fn, cfg=cfg, qcfg=qcfg, impl=impl,
+            k=k), donate_argnums=(3,))
         self._rollback = jax.jit(self._rollback_fn, donate_argnums=(0,))
+        self._host_temp = np.zeros(S, np.float64)  # sampled-mode switch
         self.stats = {"iterations": 0, "accepted": 0, "clamped": 0}
 
     # -- jitted bodies ------------------------------------------------------

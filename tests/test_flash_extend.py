@@ -124,3 +124,28 @@ def test_flash_extend_empty_history_merge():
     cache = _mk_cache(50, 0, qcfg)  # all tokens still in the window
     assert int(cache.n_k_quant) == 0
     _compare(cache, qcfg, T1=16)
+
+
+def test_flash_extend_qhist_fallback_path(monkeypatch):
+    """The qhist-partial kernel + jnp window/self merge remains the
+    fallback for geometries the full megakernel rejects; keep it
+    oracle-exact by forcing the dispatch gate off."""
+    import kivi_tpu.kernels.flash_extend as FE
+    monkeypatch.setattr(FE, "flash_extend_full_supported",
+                        lambda *a, **k: False)
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=128)
+    cache = _mk_cache(300, 20, qcfg)
+    _compare(cache, qcfg, T1=64)
+
+
+def test_flash_extend_full_t1_phases():
+    """Full megakernel at engine-realistic suffix sizes (T1 = 128/256,
+    the chunked-prefill chunks the old jnp halves could not afford):
+    history/window phases swept."""
+    qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                       residual_length=128, v_flush=128)
+    for tprompt, steps, t1 in ((512, 0, 128), (640, 17, 256),
+                               (896, 0, 128)):
+        cache = _mk_cache(tprompt, steps, qcfg)
+        _compare(cache, qcfg, T1=t1, r=1)

@@ -28,10 +28,18 @@ dispatch — the rollback simply keeps it.  Per iteration the device
 work is exactly four fixed-shape dispatches (masked flushes, draft
 scan, verify, rollback) regardless of S, k, acceptance, or phase.
 
-Greedy-only (speculative sampling needs per-slot accept-reject over
-full probability rows — (S, k, V) host traffic; the B=1 engine's
-sampled mode covers that play).  No repetition penalty, prefixes, or
-chunked admission (plain bucketed prefill).
+Sampling (round 5): temperature > 0 slots run the Leviathan
+accept-reject ON DEVICE — per-slot warped draft sampling, target
+distributions, accept ratios, residual and bonus samples all inside
+the two batched dispatches, so no (S, k, V) probability rows ever
+cross to the host.  Greedy slots ride the SAME dispatches as the
+temperature -> 0 limit: their p/q are one-hots at the argmax, under
+which accept == prefix match and residual/bonus == argmax — byte-equal
+to the dedicated greedy path (tested).  Mixed greedy/sampled batches
+therefore need one compilation.  Per-slot emitted marginals equal
+sampling the target directly (the B=1 engine's theorem, vmapped).  No
+repetition penalty, prefixes, or chunked admission (plain bucketed
+prefill).
 """
 
 from __future__ import annotations
@@ -51,6 +59,46 @@ from kivi_tpu.models import modeling
 from kivi_tpu.serving.batcher import ContinuousBatcher, Request
 from kivi_tpu.serving.engine import (nkq_prefill as _nkq_prefill,
                                      nvq_canonical as _nvq)
+
+
+def spec_accept_device(p, q, xs, keff, key):
+    """Leviathan accept-reject for ONE slot's block, fully on device —
+    the jnp twin of speculative.spec_accept (same theorem, same
+    emitted-token marginal; tests pin both).
+
+    p (k+1, V) target distributions; q (k, V) draft distributions; xs
+    (k,) draft tokens; keff traced accept cap.  Accept x_i with prob
+    min(1, p_i(x)/q_i(x)) for i < keff; first rejection at j emits a
+    sample of normalize(max(p_j - q_j, 0)); surviving to j == keff
+    emits the bonus sample from p_keff.  Greedy slots (one-hot p/q)
+    reduce exactly to greedy prefix matching with argmax corrections.
+    Returns (emitted (k+1,), j) — positions > j in `emitted` are
+    garbage."""
+    k = xs.shape[0]
+    ii = jnp.arange(k, dtype=jnp.int32)
+    px = p[ii, xs]
+    qx = q[ii, xs]
+    us = jax.random.uniform(jax.random.fold_in(key, 0), (k,))
+    acc = us < jnp.minimum(1.0, px / jnp.maximum(qx, 1e-20))
+    acc = jnp.logical_and(acc, ii < keff)
+    rej = jnp.logical_not(acc)
+    j = jnp.where(rej.any(), jnp.argmax(rej), jnp.int32(k))
+    # residual samples at every position (only row j is consumed)
+    r = jnp.maximum(p[:k] - q, 0.0)
+    rs = jnp.sum(r, axis=-1, keepdims=True)
+    rdist = jnp.where(rs > 1e-12, r / jnp.maximum(rs, 1e-20), p[:k])
+    rtok = jax.random.categorical(
+        jax.random.fold_in(key, 1),
+        jnp.log(jnp.maximum(rdist, 1e-30))).astype(jnp.int32)
+    btok = jax.random.categorical(
+        jax.random.fold_in(key, 2),
+        jnp.log(jnp.maximum(p, 1e-30))).astype(jnp.int32)
+    final = jnp.where(j < keff, rtok[jnp.minimum(j, k - 1)], btok[j])
+    iii = jnp.arange(k + 1, dtype=jnp.int32)
+    emitted = jnp.where(
+        iii < j,
+        jnp.concatenate([xs, jnp.zeros((1,), jnp.int32)]), final)
+    return emitted, j
 
 
 class SpeculativeBatcher(ContinuousBatcher):
@@ -170,6 +218,83 @@ class SpeculativeBatcher(ContinuousBatcher):
         return jax.vmap(one)(vin, pos0, caches, active, pads)
 
     @staticmethod
+    def _spec_draft_sample_fn(params, tok, pos, caches, active, pads,
+                              temps, topks, topps, key, *, cfg, qcfg,
+                              impl, steps: int):
+        """Sampled twin of _spec_draft_fn: per-slot warped sampling
+        (greedy slots ride the same code as the temperature <= 0 limit
+        of probs_per_row — a one-hot at the argmax).  Returns (S, k+1)
+        proposals, (S, k+1, V) per-step draft DISTRIBUTIONS (device-
+        resident; the verify dispatch consumes them — they never cross
+        to the host), and the caches."""
+        from kivi_tpu.serving import sampling
+
+        def one(tok1, pos1, cache1, act1, pad1, t1, k1, p1, key1):
+            def body(carry, i):
+                t, p, c = carry
+                logits, c = modeling.forward(
+                    params, t[:, None], c, cfg, qcfg, p[:, None],
+                    mode="decode", impl=impl, pad_len=pad1[None],
+                    active=act1, ingest="window")
+                lg = logits[:, -1, :]                        # (1, V)
+                probs = sampling.probs_per_row(
+                    lg, t1[None], k1[None], p1[None])
+                nxt = jnp.where(
+                    t1 <= 0.0,
+                    jnp.argmax(lg, -1),
+                    jax.random.categorical(
+                        jax.random.fold_in(key1, i),
+                        sampling.warp_logits_per_row(
+                            lg, t1[None], k1[None], p1[None]))
+                ).astype(jnp.int32)
+                return (nxt, p + 1, c), (nxt[0], probs[0])
+
+            (t, p, c), (toks, qprobs) = jax.lax.scan(
+                body, (tok1, pos1, cache1), jnp.arange(steps))
+            return toks, qprobs, c
+
+        return jax.vmap(one)(tok, pos, caches, active, pads, temps,
+                             topks, topps,
+                             jax.random.split(key, tok.shape[0]))
+
+    @staticmethod
+    def _spec_verify_sample_fn(params, vin, pos0, caches, active, pads,
+                               qprobs, dtoks, keff, temps, topks, topps,
+                               key, *, cfg, qcfg, impl, k: int):
+        """Sampled verify + ON-DEVICE Leviathan accept-reject per slot
+        (the host never sees a logit or probability row).
+
+        Per slot: target distributions p_i over the k+1 block positions
+        (greedy slots: one-hots, making accept == greedy prefix match
+        and the residual/bonus samples == argmax — byte-equal to the
+        greedy path); accept x_i with prob min(1, p_i(x)/q_i(x)) for
+        i < keff; first rejection at j emits a sample of
+        normalize(max(p_j - q_j, 0)); surviving to j == keff emits the
+        bonus sample from p_keff.  Returns (emitted (S, k+1), j (S,))
+        and the caches; positions > j in `emitted` are garbage."""
+        from kivi_tpu.serving import sampling
+
+        def one(vin1, pos01, cache1, act1, pad1, q1, d1, ke1, t1, k1,
+                p1, key1):
+            T1 = vin1.shape[0]                              # k + 1
+            positions = (pos01 + jnp.arange(T1, dtype=jnp.int32))[None]
+            logits, cache1 = modeling.forward(
+                params, vin1[None], cache1, cfg, qcfg, positions,
+                mode="extend", impl=impl, last_only=False,
+                pad_len=pad1[None], active=act1, ingest="window")
+            p = sampling.probs_per_row(
+                logits[0], jnp.broadcast_to(t1, (T1,)),
+                jnp.broadcast_to(k1, (T1,)),
+                jnp.broadcast_to(p1, (T1,)))                # (k+1, V)
+            emitted, j = spec_accept_device(p, q1[:k], d1[:k], ke1, key1)
+            return emitted, j, cache1
+
+        S = vin.shape[0]
+        return jax.vmap(one)(vin, pos0, caches, active, pads, qprobs,
+                             dtoks, keff, temps, topks, topps,
+                             jax.random.split(key, S))
+
+    @staticmethod
     def _rollback_fn(caches, n):
         """Vectorized counter rollback: every slot's committed count set
         to n[s] (valid because window-only ingest never moved a
@@ -187,9 +312,11 @@ class SpeculativeBatcher(ContinuousBatcher):
     # -- host-side ----------------------------------------------------------
 
     def submit(self, req: Request):
-        if req.temperature > 0 or req.repetition_penalty != 1.0:
-            raise ValueError("SpeculativeBatcher is greedy-only "
-                             "(no temperature / repetition penalty)")
+        if req.repetition_penalty != 1.0:
+            raise ValueError("SpeculativeBatcher does not support "
+                             "repetition penalty (it conditions on the "
+                             "full emitted sequence, which diverges "
+                             "per-slot mid-block)")
         if req.prefix_tokens is not None:
             raise ValueError("SpeculativeBatcher does not take prefixes")
         # a slot commits up to k+1 tokens per step, so the final step
@@ -247,6 +374,7 @@ class SpeculativeBatcher(ContinuousBatcher):
                 lambda big, one: jax.lax.dynamic_update_index_in_dim(
                     big, one, int(s), 0), self.d_caches, cache1)
             self._wm_reset(int(s), bucket)
+            self._host_temp[int(s)] = req.temperature
 
     def _caps(self, who: str, qcfg: QuantConfig) -> np.ndarray:
         """Per-slot post-flush window headroom, updating the host
@@ -285,33 +413,56 @@ class SpeculativeBatcher(ContinuousBatcher):
         # capacity) must not drive keff to -1 and commit past capacity;
         # submit() rejects requests that could reach cap == 0.
         keff = np.maximum(np.minimum(k, np.minimum(cap_t, cap_d) - 1), 0)
-        # 2) draft proposals: one batched (k+1)-step scan
-        d_toks, self.d_caches = self._spec_draft(
-            self.dparams, self.cur_tok, self.pos, self.d_caches,
-            self.act_dev, self.pad_dev)
-        d = np.asarray(d_toks)[:, :k]                        # (S, k)
-        # 3) target verify: one batched width-(k+1) extend
-        vin = jnp.concatenate(
-            [self.cur_tok, jnp.asarray(d, jnp.int32)], axis=1)
-        t_pred, self.caches = self._spec_verify(
-            self.params, vin, self.pos[:, 0], self.caches,
-            self.act_dev, self.pad_dev)
-        tp = np.asarray(t_pred)                              # (S, k+1)
-        # 4) per-slot accept + vectorized counter rollback
+        blocks: List[List[int]] = [[] for _ in range(self.S)]
+        js = np.zeros(self.S, np.int64)
+        if (self._host_temp[self.active] > 0).any():
+            # sampled path: per-slot warped draft sampling + on-device
+            # Leviathan accept (greedy slots reduce to prefix matching
+            # through the one-hot distributions — same dispatches)
+            self.rng, s1, s2 = jax.random.split(self.rng, 3)
+            d_toks, qprobs, self.d_caches = self._spec_draft_s(
+                self.dparams, self.cur_tok, self.pos, self.d_caches,
+                self.act_dev, self.pad_dev, self.temp_dev,
+                self.topk_dev, self.topp_dev, s1)
+            vin = jnp.concatenate([self.cur_tok, d_toks[:, :k]], axis=1)
+            emitted, jdev, self.caches = self._spec_verify_s(
+                self.params, vin, self.pos[:, 0], self.caches,
+                self.act_dev, self.pad_dev, qprobs, d_toks,
+                jnp.asarray(keff, jnp.int32), self.temp_dev,
+                self.topk_dev, self.topp_dev, s2)
+            em, js = np.asarray(emitted), np.asarray(jdev)
+            for s in np.flatnonzero(self.active):
+                blocks[s] = [int(t) for t in em[s, :js[s] + 1]]
+        else:
+            # 2) draft proposals: one batched (k+1)-step scan
+            d_toks, self.d_caches = self._spec_draft(
+                self.dparams, self.cur_tok, self.pos, self.d_caches,
+                self.act_dev, self.pad_dev)
+            d = np.asarray(d_toks)[:, :k]                    # (S, k)
+            # 3) target verify: one batched width-(k+1) extend
+            vin = jnp.concatenate(
+                [self.cur_tok, jnp.asarray(d, jnp.int32)], axis=1)
+            t_pred, self.caches = self._spec_verify(
+                self.params, vin, self.pos[:, 0], self.caches,
+                self.act_dev, self.pad_dev)
+            tp = np.asarray(t_pred)                          # (S, k+1)
+            for s in np.flatnonzero(self.active):
+                ke = int(keff[s])
+                mism = tp[s, :ke] != d[s, :ke]
+                j = int(np.argmax(mism)) if mism.any() else ke
+                blocks[s] = [int(t) for t in d[s, :j]] + [int(tp[s, j])]
+                js[s] = j
+        # 4) per-slot commit + vectorized counter rollback
         n_new = self.n_cache.copy()
         cur = np.asarray(self.cur_tok[:, 0]).copy()
         pos_add = np.zeros(self.S, np.int64)
-        blocks: List[List[int]] = [[] for _ in range(self.S)]
         for s in np.flatnonzero(self.active):
-            ke = int(keff[s])
-            mism = tp[s, :ke] != d[s, :ke]
-            j = int(np.argmax(mism)) if mism.any() else ke
-            blocks[s] = [int(t) for t in d[s, :j]] + [int(tp[s, j])]
+            j = int(js[s])
             n_new[s] += j + 1
             pos_add[s] = j + 1
             cur[s] = blocks[s][-1]
             self.stats["accepted"] += j
-            if ke < k:
+            if int(keff[s]) < k:
                 self.stats["clamped"] += 1
         self.stats["iterations"] += 1
         self.caches = self._rollback(self.caches, n_new)

@@ -130,14 +130,89 @@ def test_streaming_on_token():
     assert got == _oracle(prompt, 20)
 
 
-def test_rejects_sampled_and_prefix_requests():
+def test_rejects_penalty_and_prefix_requests():
     bat = _spec_bat(SMALL, QCFG, _params(small=True))
-    with pytest.raises(ValueError, match="greedy-only"):
-        bat.submit(Request(uid=0, prompt=[1, 2], max_new_tokens=4,
-                           temperature=0.7))
-    with pytest.raises(ValueError, match="greedy-only"):
+    with pytest.raises(ValueError, match="repetition penalty"):
         bat.submit(Request(uid=1, prompt=[1, 2], max_new_tokens=4,
                            repetition_penalty=1.3))
     with pytest.raises(ValueError, match="prefixes"):
         bat.submit(Request(uid=2, prompt=[1, 2], max_new_tokens=4,
                            prefix_tokens=[3, 4]))
+
+
+# ---------------------------------------------------------------------------
+# sampled mode (round 5): on-device Leviathan accept over batched slots
+# ---------------------------------------------------------------------------
+
+
+def test_sampled_mode_greedy_slots_unchanged():
+    """A mixed batch (one sampled slot forces the sampled dispatches)
+    must leave greedy slots' streams byte-equal to the oracle: their
+    one-hot p/q reduce the on-device accept to greedy prefix match."""
+    prompts = _prompts(seed=6, lens=(20, 30))
+    bat = _spec_bat(CFG, QCFG, _params(), k=3, slots=2)
+    reqs = [Request(uid=0, prompt=prompts[0], max_new_tokens=25),
+            Request(uid=1, prompt=prompts[1], max_new_tokens=25,
+                    temperature=0.8, top_k=0, top_p=1.0)]
+    results = bat.run(reqs)
+    want = _oracle(prompts[0], 25)
+    assert results[0].tokens == want
+    assert len(results[1].tokens) == 25
+
+
+def test_spec_accept_device_marginal_matches_target():
+    """Leviathan theorem for the ON-DEVICE accept core: the first
+    emitted token's marginal equals the target distribution p for ANY
+    proposal q — the jnp twin of speculative.spec_accept's theorem
+    test, vmapped over 40K keys at V=6 with an adversarially spiky
+    draft and draft tokens ACTUALLY drawn from q."""
+    from kivi_tpu.serving.spec_batcher import spec_accept_device
+
+    rng = np.random.default_rng(0)
+    V, k, n = 6, 2, 40_000
+    p = jnp.asarray(rng.dirichlet(np.ones(V), size=k + 1))
+    q = jnp.asarray(rng.dirichlet(np.full(V, 0.3), size=k))
+    xs = jnp.asarray(rng.choice(V, size=(n, k), p=np.asarray(q[0])),
+                     jnp.int32)  # both steps drawn from q[0] row; fine:
+    # the theorem holds per position for any q_i, and position 0 is
+    # what the marginal checks
+    keys = jax.random.split(jax.random.PRNGKey(1), n)
+    emitted, j = jax.vmap(
+        lambda x, key: spec_accept_device(p, q, x, jnp.int32(k), key)
+    )(xs, keys)
+    first = np.asarray(emitted[:, 0])
+    counts = np.bincount(first, minlength=V)
+    tv = 0.5 * np.abs(counts / n - np.asarray(p[0])).sum()
+    assert tv < 0.02, (tv, counts / n)
+
+
+def test_spec_accept_device_greedy_onehot_is_prefix_match():
+    """One-hot p/q (the greedy limit): accept == prefix match, the
+    correction/bonus == target argmax — the property that lets mixed
+    batches share one dispatch."""
+    from kivi_tpu.serving.spec_batcher import spec_accept_device
+
+    V, k = 8, 3
+    tgt = jnp.asarray([2, 5, 1, 4])           # target argmax per pos
+    drf = jnp.asarray([2, 5, 7])              # draft diverges at i=2
+    p = jax.nn.one_hot(tgt, V)
+    q = jax.nn.one_hot(drf, V)
+    emitted, j = spec_accept_device(p, q, drf, jnp.int32(k),
+                                    jax.random.PRNGKey(0))
+    assert int(j) == 2
+    assert [int(t) for t in emitted[:3]] == [2, 5, 1]
+
+
+def test_sampled_mode_seed_deterministic():
+    prompt = _prompts(seed=9, lens=(20,))[0]
+    outs = []
+    for _ in range(2):
+        bat = _spec_bat(SMALL, QCFG, _params(seed=9, small=True), k=3,
+                        slots=1)
+        bat.rng = jax.random.PRNGKey(77)
+        res = bat.run([Request(uid=0, prompt=prompt, max_new_tokens=15,
+                               temperature=0.9, top_k=20)])
+        outs.append(res[0].tokens)
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 15
+    assert all(0 <= t < CFG.vocab_size for t in outs[0])

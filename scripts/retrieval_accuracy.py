@@ -1,0 +1,289 @@
+"""Long-context retrieval accuracy: the in-image analogue of the
+reference's most quantization-sensitive LongBench signal.
+
+The reference's headline accuracy artifact is its LongBench table
+(`/root/reference/docs/long_bench.md:7-49`); its sharpest signature is
+PassageRetrieval on the GQA model: fp16 89.33 -> KIVI-2 80.83 while
+KIVI-4 is lossless (89.42) — retrieval over long context degrades
+first, at 2 bits, worst under GQA.  Real checkpoints cannot exist in
+this image (zero egress), so this script reproduces the SIGNATURE
+CLASS on a trained model: a small Llama-geometry LM (the repo's own
+modeling.py, head_dim=128 so eval rides the production KIVI kernels)
+trained on a synthetic dense key-value retrieval task:
+
+    k1 : v1 ; k2 : v2 ; ... ; kN : vN ; [Q] kq [A] vq
+
+~250 pairs at a 2048-token context; the query key is uniform over the
+pairs, so answering requires exact long-range key matching through the
+(quantized) KV cache — the passkey structure (examples/
+passkey_demo.py) densified until model capacity, not task triviality,
+is the operating point.
+
+Eval: exact-match of the generated value through the ENGINE (prompt
+ingested by prefill_ingest -> quantized stores, generation through
+decode_attention) at fp16 / KIVI-4 / KIVI-2, for an MHA model and a
+GQA (r=4) model.  Expected reproduction: KIVI-4 ~= fp16 everywhere;
+KIVI-2 drops measurably, and drops MORE on GQA (fewer KV heads = less
+redundancy across quantized heads).
+
+Usage (TPU):
+  python scripts/retrieval_accuracy.py train --arch mha --steps 4000
+  python scripts/retrieval_accuracy.py train --arch gqa --steps 4000
+  python scripts/retrieval_accuracy.py eval \
+      --json docs/artifacts/retrieval_accuracy_r5.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kivi_tpu.config import ModelConfig, QuantConfig
+from kivi_tpu.models import modeling
+
+SEP, COL, QTOK, ATOK = 1, 2, 3, 4
+SYM0, NSYM = 10, 240          # key/value symbol alphabet [10, 250)
+KLEN = VLEN = 3               # tokens per key / per value
+PAIR = KLEN + 1 + VLEN + 1    # k : v ;
+SEQ = 2048
+ARCHS = {
+    # head_dim=128 keeps eval on the production kernel geometry
+    "mha": ModelConfig(vocab_size=256, hidden_size=512,
+                       intermediate_size=1408, num_layers=4, num_heads=4,
+                       num_kv_heads=4, head_dim=128,
+                       max_position_embeddings=4096),
+    "gqa": ModelConfig(vocab_size=256, hidden_size=512,
+                       intermediate_size=1408, num_layers=4, num_heads=4,
+                       num_kv_heads=1, head_dim=128,
+                       max_position_embeddings=4096),
+}
+
+
+def make_example(rng: np.random.Generator, seq: int = SEQ):
+    """One retrieval sequence + the answer span [a0, a0+VLEN)."""
+    tail = 1 + KLEN + 1 + VLEN          # [Q] kq [A] vq
+    n_pairs = (seq - tail) // PAIR
+    # unique keys: sample first tokens without replacement when possible
+    keys = rng.integers(SYM0, SYM0 + NSYM, size=(n_pairs, KLEN))
+    # enforce uniqueness cheaply via a random injective tweak of token 0
+    keys[:, 0] = SYM0 + rng.permutation(NSYM)[
+        np.arange(n_pairs) % NSYM]
+    keys[:, 1] = SYM0 + (np.arange(n_pairs) // NSYM) % NSYM
+    vals = rng.integers(SYM0, SYM0 + NSYM, size=(n_pairs, VLEN))
+    qi = int(rng.integers(n_pairs))
+    toks = []
+    for i in range(n_pairs):
+        toks.extend(keys[i]); toks.append(COL)
+        toks.extend(vals[i]); toks.append(SEP)
+    toks.append(QTOK); toks.extend(keys[qi]); toks.append(ATOK)
+    a0 = len(toks)
+    toks.extend(vals[qi])
+    toks = np.asarray(toks, np.int32)
+    out = np.zeros(seq, np.int32)
+    out[-len(toks):] = toks             # left-pad with 0 (never attended
+    a0 += seq - len(toks)               # in training loss; true positions)
+    return out, a0
+
+
+def make_batch(rng, batch, seq=SEQ):
+    xs, masks = [], []
+    for _ in range(batch):
+        x, a0 = make_example(rng, seq)
+        m = np.zeros(seq, np.float32)
+        m[a0:a0 + VLEN] = 1.0
+        xs.append(x); masks.append(m)
+    return np.stack(xs), np.stack(masks)
+
+
+def train_forward(params, tokens, cfg):
+    """Causal forward with per-layer rematerialization (T=2048 f32
+    score matrices would otherwise hold every layer live through the
+    backward pass)."""
+    B, T = tokens.shape
+    Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    x = params["embed"][tokens].astype(jnp.bfloat16)
+    positions = jnp.arange(T, dtype=jnp.int32)
+    cos, sin = modeling.rope_cos_sin(positions, D, cfg.rope_theta)
+    cos, sin = cos[None, None], sin[None, None]
+    causal = jnp.tril(jnp.ones((T, T), jnp.bool_))
+
+    @jax.checkpoint
+    def layer(x, lp):
+        h = modeling.rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps)
+        q = (h @ lp["wq"]).reshape(B, T, Hq, D).transpose(0, 2, 1, 3)
+        k = (h @ lp["wk"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+        v = (h @ lp["wv"]).reshape(B, T, Hkv, D).transpose(0, 2, 1, 3)
+        q = modeling.apply_rope(q, cos, sin)
+        k = modeling.apply_rope(k, cos, sin)
+        if Hq != Hkv:
+            k = jnp.repeat(k, Hq // Hkv, axis=1)
+            v = jnp.repeat(v, Hq // Hkv, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        s = jnp.where(causal, s * D ** -0.5, -1e30)
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+        o = o.transpose(0, 2, 1, 3).reshape(B, T, Hq * D)
+        x = x + (o @ lp["wo"]).astype(x.dtype)
+        h = modeling.rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps)
+        return x + modeling.swiglu_mlp(h, lp["wg"], lp["wu"],
+                                       lp["wd"]).astype(x.dtype)
+
+    for i in range(cfg.num_layers):
+        lp = jax.tree_util.tree_map(lambda a: a[i], params["layers"])
+        x = layer(x, lp)
+    x = modeling.rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
+    return (x @ params["lm_head"]).astype(jnp.float32)
+
+
+def loss_fn(params, tokens, mask, cfg):
+    """NLL over the ANSWER tokens only (mask at their positions)."""
+    logits = train_forward(params, tokens, cfg)
+    tgt = tokens[:, 1:]
+    m = mask[:, 1:]
+    lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def cmd_train(args):
+    import optax
+    from kivi_tpu.models.checkpoint import save_checkpoint
+
+    cfg = ARCHS[args.arch]
+    key = jax.random.PRNGKey(args.seed)
+    params = modeling.init_params(cfg, key, dtype=jnp.float32)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"arch={args.arch} params {n/1e6:.1f}M backend "
+          f"{jax.default_backend()}", file=sys.stderr)
+
+    warmup = min(200, args.steps // 2)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=warmup,
+        decay_steps=max(args.steps, warmup + 1), end_value=args.lr * 0.05)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(sched, b1=0.9, b2=0.95,
+                                  weight_decay=0.01))
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_steps(params, opt_state, batches, masks):
+        def one(carry, xm):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, xm[0],
+                                                      xm[1], cfg)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), (batches, masks))
+        return params, opt_state, losses
+
+    rng = np.random.default_rng(args.seed)
+    t0 = time.perf_counter()
+    done = 0
+    while done < args.steps:
+        k = min(args.scan, args.steps - done)
+        bs, ms = zip(*[make_batch(rng, args.batch) for _ in range(k)])
+        params, opt_state, losses = train_steps(
+            params, opt_state, jnp.asarray(np.stack(bs)),
+            jnp.asarray(np.stack(ms)))
+        done += k
+        if done % (args.scan * 4) == 0 or done >= args.steps:
+            print(f"step {done:5d} | answer-nll {float(losses[-1]):.4f} "
+                  f"| {time.perf_counter() - t0:.0f}s", file=sys.stderr)
+
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
+                                    params)
+    out = os.path.join(args.out, args.arch)
+    os.makedirs(out, exist_ok=True)
+    import shutil
+    pdir = os.path.join(out, "params")
+    if os.path.isdir(pdir):
+        shutil.rmtree(pdir)
+    save_checkpoint(out, params, cfg)
+    print(f"saved {out}", file=sys.stderr)
+
+
+def cmd_eval(args):
+    from kivi_tpu.models.checkpoint import load_checkpoint
+    from kivi_tpu.serving.engine import Engine
+
+    # cross-path argmax stability (same rationale as the real-TPU suite)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    qcfgs = {
+        "fp16": QuantConfig(k_bits=16, v_bits=16),
+        "kivi4": QuantConfig(k_bits=4, v_bits=4, group_size=32,
+                             residual_length=128, v_flush=128),
+        "kivi2": QuantConfig(k_bits=2, v_bits=2, group_size=32,
+                             residual_length=128, v_flush=128),
+    }
+    rng = np.random.default_rng(args.eval_seed)
+    # held-out examples; prompt = everything before the answer span
+    examples = [make_example(rng) for _ in range(args.examples)]
+    res = {}
+    for arch in ("mha", "gqa"):
+        path = os.path.join(args.out, arch)
+        cfg, params = load_checkpoint(path)
+        for name, qcfg in qcfgs.items():
+            eng = Engine(cfg=cfg, qcfg=qcfg, params=params,
+                         max_seq_len=SEQ + 64, batch_size=args.eval_batch,
+                         impl="pallas" if qcfg.quantize_kv else "jnp")
+            hits = toks_ok = 0
+            for i in range(0, len(examples), args.eval_batch):
+                chunk = examples[i:i + args.eval_batch]
+                if len(chunk) < args.eval_batch:
+                    break
+                prompts = jnp.asarray(
+                    np.stack([x[:a0] for x, a0 in chunk]), jnp.int32)
+                want = np.stack([x[a0:a0 + VLEN] for x, a0 in chunk])
+                out = np.asarray(eng.generate(prompts, VLEN))
+                hits += int((out == want).all(axis=1).sum())
+                toks_ok += int((out == want).sum())
+            n_ex = (len(examples) // args.eval_batch) * args.eval_batch
+            res[f"{arch}_{name}"] = {
+                "exact": round(hits / n_ex, 4),
+                "token_acc": round(toks_ok / (n_ex * VLEN), 4),
+                "n": n_ex,
+            }
+            print(f"{arch:3s} {name:5s}: exact {hits}/{n_ex} = "
+                  f"{hits/n_ex:.1%}  token {toks_ok/(n_ex*VLEN):.1%}",
+                  file=sys.stderr)
+    print(json.dumps(res))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(res, f, indent=1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["train", "eval"])
+    ap.add_argument("--arch", choices=list(ARCHS), default="mha")
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--scan", type=int, default=10)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="evalsuite_runs/retrieval")
+    ap.add_argument("--examples", type=int, default=64)
+    ap.add_argument("--eval-batch", type=int, default=16)
+    ap.add_argument("--eval-seed", type=int, default=123)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    (cmd_train if args.cmd == "train" else cmd_eval)(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,7 +9,13 @@ connections share the slot pool, and malformed/unroutable requests get
 
 import http.client
 import json
+import os
 import threading
+
+# real-TPU runs pay 20-40 s remote compiles per program inside these
+# wall-timeouts (and the chip may be contended); scale them so the
+# timeouts still catch HANGS without flagging slow compiles
+_TM = 6 if os.environ.get("KIVI_TPU_REAL") else 1
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +38,8 @@ def _batcher():
 
 
 def _post(port, payload):
-    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn = http.client.HTTPConnection("127.0.0.1", port,
+                                      timeout=120 * _TM)
     conn.request("POST", "/v1/generate", json.dumps(payload),
                  {"Content-Type": "application/json"})
     return conn, conn.getresponse()
@@ -94,7 +101,7 @@ def test_concurrent_requests_share_slots(api):
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=300)
+        t.join(timeout=300 * _TM)
     for i in range(3):
         want = _batcher().run([Request(uid=0, prompt=prompts[i],
                                        max_new_tokens=5)])[0].tokens
@@ -191,7 +198,7 @@ def test_close_unblocks_inflight_waiters():
     import time
     time.sleep(2.0)                    # request is mid-decode
     srv.close()
-    t.join(timeout=30)
+    t.join(timeout=30 * _TM)
     assert not t.is_alive()
     assert "tokens" in got["body"]     # returned (partial/empty), no hang
 
@@ -217,7 +224,7 @@ def test_step_exception_fails_pending_and_503s():
         conn.close()
         assert body["tokens"] == [] or len(body["tokens"]) < 50
         conn = http.client.HTTPConnection("127.0.0.1", srv.port,
-                                          timeout=30)
+                                          timeout=30 * _TM)
         conn.request("GET", "/v1/health")
         health = json.loads(conn.getresponse().read())
         conn.close()
@@ -268,11 +275,13 @@ def test_bad_requests_get_4xx_and_health(api):
     conn, resp = _post(api.port, {"max_new_tokens": 4})   # no prompt
     assert resp.status == 400
     conn.close()
-    conn = http.client.HTTPConnection("127.0.0.1", api.port, timeout=30)
+    conn = http.client.HTTPConnection("127.0.0.1", api.port,
+                                      timeout=30 * _TM)
     conn.request("GET", "/nope")
     assert conn.getresponse().status == 404
     conn.close()
-    conn = http.client.HTTPConnection("127.0.0.1", api.port, timeout=30)
+    conn = http.client.HTTPConnection("127.0.0.1", api.port,
+                                      timeout=30 * _TM)
     conn.request("GET", "/v1/health")
     health = json.loads(conn.getresponse().read())
     assert health["status"] == "ok"

@@ -181,7 +181,15 @@ def main():
                     help="fixed batch for BOTH configs (0 = per-config "
                          "max batch, the headline methodology)")
     ap.add_argument("--kv-heads", type=int, default=32)
+    ap.add_argument("--bits", type=int, default=2, choices=(2, 4, 8),
+                    help="KIVI k/v bits (reference guidance: 2 for MHA, "
+                         "4 for GQA — docs/long_bench.md:3)")
     args = ap.parse_args()
+    global KIVI
+    if args.bits != 2:
+        KIVI = QuantConfig(k_bits=args.bits, v_bits=args.bits,
+                           group_size=32, residual_length=128,
+                           v_flush=128)
     CFG, CTX, PROMPT, STEPS = (
         make_cfg(args.layers, args.kv_heads, max(4096, args.ctx)),
         args.ctx, args.prompt, args.steps)

@@ -148,7 +148,21 @@ class Engine:
         # checkify-instrumented jit (utils/guards.py): NaN/Inf anywhere
         # in the traced program raises at the call site.
         if self.debug:
-            from kivi_tpu.utils.guards import checked_jit as _jit
+            import functools as _ft
+
+            from jax.experimental import checkify as _ckf
+
+            from kivi_tpu.utils.guards import checked_jit
+            # float-check instrumentation of Pallas kernel BODIES fails
+            # Mosaic lowering on the current TPU toolchain (see
+            # guards.checked_jit): with pallas kernels on a real TPU,
+            # debug mode keeps the user-check contracts (t_bound guard)
+            # and drops float checks — run impl="jnp" (the oracle path,
+            # same math) to chase NaNs with full float checks there.
+            errors = (_ckf.user_checks
+                      if (self.impl == "pallas"
+                          and jax.default_backend() == "tpu") else None)
+            _jit = _ft.partial(checked_jit, errors=errors)
         else:
             _jit = jax.jit
         self._prefill = _jit(

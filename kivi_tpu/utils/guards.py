@@ -40,14 +40,27 @@ def debug_check(pred, msg: str, **fmt):
         checkify.check(pred, msg, **fmt)
 
 
-def checked_jit(fn, **jit_kwargs):
-    """jax.jit(fn) with float + user-check checkify instrumentation;
-    the wrapper re-raises any captured error eagerly after each call.
+def checked_jit(fn, errors=None, **jit_kwargs):
+    """jax.jit(fn) with checkify instrumentation (default: float +
+    user checks); the wrapper re-raises any captured error eagerly
+    after each call.
+
+    errors: override the check set.  The current TPU toolchain fails
+    Mosaic lowering when checkify's float instrumentation rewrites a
+    Pallas kernel BODY (`Invalid relayout ... i1` — same bug class the
+    compile helper shows intermittently), so callers running Pallas
+    kernels under debug on real TPU should pass
+    `checkify.user_checks`: explicit debug_check contracts (staged
+    OUTSIDE kernels) still fire, kernel bodies stay untouched.  The
+    Engine selects this automatically (impl='pallas' on a tpu
+    backend).
 
     Donation is dropped: checkify reads values the donated buffers
     would alias, and debug mode is not the place to optimize HBM.
     """
     jit_kwargs.pop("donate_argnums", None)
+    if errors is None:
+        errors = ERRORS
 
     @functools.wraps(fn)
     def flagged(*args, **kwargs):
@@ -57,7 +70,7 @@ def checked_jit(fn, **jit_kwargs):
         finally:
             _TRACING_CHECKED.reset(token)
 
-    cfn = checkify.checkify(flagged, errors=ERRORS)
+    cfn = checkify.checkify(flagged, errors=errors)
     jfn = jax.jit(cfn, **jit_kwargs)
 
     @functools.wraps(fn)

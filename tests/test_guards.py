@@ -58,7 +58,11 @@ def _wide_cache(prompt_len, qcfg, B=1, H=4, D=128, Tmax=1024):
 def test_debug_catches_violated_t_bound():
     """A fill_bound below the cache's live fill must RAISE under debug
     (production silently truncates attention — the documented caller
-    contract of the wide kernel's t_bound)."""
+    contract of the wide kernel's t_bound).  user_checks-only wrap:
+    what the Engine uses for impl='pallas' on TPU — float
+    instrumentation of Pallas kernel bodies trips a Mosaic relayout
+    bug on the current toolchain (guards.checked_jit docstring)."""
+    from jax.experimental import checkify
     from kivi_tpu.core.attention import decode_attention
     from kivi_tpu.utils.guards import checked_jit
     qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
@@ -68,12 +72,14 @@ def test_debug_catches_violated_t_bound():
     q = jax.random.normal(jax.random.PRNGKey(2), (B, H * r, 1, D),
                           jnp.float32)
     bad = checked_jit(lambda qq, cc: decode_attention(
-        qq, cc, qcfg, impl="pallas", fill_bound=0))   # t_bound -> 512
+        qq, cc, qcfg, impl="pallas", fill_bound=0),   # t_bound -> 512
+        errors=checkify.user_checks)
     with pytest.raises(JaxRuntimeError, match="t_bound violated"):
         bad(q, cache)
 
 
 def test_debug_valid_t_bound_passes_and_matches():
+    from jax.experimental import checkify
     from kivi_tpu.core.attention import decode_attention
     from kivi_tpu.utils.guards import checked_jit
     qcfg = QuantConfig(k_bits=2, v_bits=2, group_size=32,
@@ -83,7 +89,8 @@ def test_debug_valid_t_bound_passes_and_matches():
     q = jax.random.normal(jax.random.PRNGKey(2), (B, H * r, 1, D),
                           jnp.float32)
     ok = checked_jit(lambda qq, cc: decode_attention(
-        qq, cc, qcfg, impl="pallas", fill_bound=300))
+        qq, cc, qcfg, impl="pallas", fill_bound=300),
+        errors=checkify.user_checks)
     ref = decode_attention(q, cache, qcfg, impl="jnp")
     np.testing.assert_allclose(np.asarray(ok(q, cache)), np.asarray(ref),
                                rtol=3e-2, atol=3e-2)

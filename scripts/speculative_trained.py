@@ -107,20 +107,41 @@ def main():
     acc = float(np.mean([b - 1 for b in iter_blocks])) if iter_blocks else 0
     plain_tps = n_plain / t_plain
     spec_tps = n_spec / t_spec
+
+    # device-resident loop (ONE while-loop dispatch per generation):
+    # the host loop above is dispatch-RTT bound over the tunnel
+    # (docs/serving.md); this is speculation's best on-chip showing
+    t_dev = n_dev = 0
+    for i, p in enumerate(prompts):
+        t0 = time.perf_counter()
+        out = spec.generate_device(p, args.gen)
+        n = int(np.asarray(out).shape[1])
+        if i == 0:        # first call pays the while-loop compile
+            t0 = time.perf_counter()
+            out = spec.generate_device(p, args.gen)
+            n = int(np.asarray(out).shape[1])
+        t_dev += time.perf_counter() - t0
+        n_dev += n
+    dev_tps = n_dev / t_dev
+
     res = {
         "k": args.k, "gen": args.gen, "prompts": args.prompts,
         "plain_tok_s": round(plain_tps, 1),
-        "spec_tok_s": round(spec_tps, 1),
-        "speedup": round(spec_tps / plain_tps, 3),
+        "spec_host_tok_s": round(spec_tps, 1),
+        "spec_device_tok_s": round(dev_tps, 1),
+        "speedup_host": round(spec_tps / plain_tps, 3),
+        "speedup_device": round(dev_tps / plain_tps, 3),
         "accepted_per_iter": round(acc, 2),
         "acceptance_rate": round(acc / args.k, 3),
         "stats": spec.stats,
     }
-    print(f"plain  : {plain_tps:7.1f} tok/s", file=sys.stderr)
-    print(f"spec   : {spec_tps:7.1f} tok/s ({res['speedup']}x), "
-          f"accepted {acc:.2f}/{args.k} per iteration "
-          f"(rate {res['acceptance_rate']:.1%}), stats {spec.stats}",
-          file=sys.stderr)
+    print(f"plain       : {plain_tps:7.1f} tok/s", file=sys.stderr)
+    print(f"spec host   : {spec_tps:7.1f} tok/s "
+          f"({res['speedup_host']}x), accepted {acc:.2f}/{args.k} "
+          f"per iteration (rate {res['acceptance_rate']:.1%}), "
+          f"stats {spec.stats}", file=sys.stderr)
+    print(f"spec device : {dev_tps:7.1f} tok/s "
+          f"({res['speedup_device']}x)", file=sys.stderr)
     print(json.dumps(res))
     if args.json:
         with open(args.json, "w") as f:

@@ -69,38 +69,47 @@ ARCHS = {
 }
 
 
-def make_example(rng: np.random.Generator, seq: int = SEQ):
-    """One retrieval sequence + the answer span [a0, a0+VLEN)."""
-    tail = 1 + KLEN + 1 + VLEN          # [Q] kq [A] vq
-    n_pairs = (seq - tail) // PAIR
-    # unique keys: sample first tokens without replacement when possible
+QBLK = 1 + KLEN + 1 + VLEN            # [Q] kq [A] vq
+
+
+def make_example(rng: np.random.Generator, seq: int = SEQ,
+                 n_queries: int = 1):
+    """One retrieval sequence; returns (tokens, answer starts).
+
+    n_queries DISTINCT pairs are queried back-to-back at the tail —
+    the training signal (only answer tokens are supervised) scales
+    with it; a 1-query sequence (eval) is the first-query case of the
+    same distribution."""
+    n_pairs = (seq - n_queries * QBLK) // PAIR
     keys = rng.integers(SYM0, SYM0 + NSYM, size=(n_pairs, KLEN))
-    # enforce uniqueness cheaply via a random injective tweak of token 0
-    keys[:, 0] = SYM0 + rng.permutation(NSYM)[
-        np.arange(n_pairs) % NSYM]
+    # enforce key uniqueness via an injective (token0, token1) grid
+    keys[:, 0] = SYM0 + rng.permutation(NSYM)[np.arange(n_pairs) % NSYM]
     keys[:, 1] = SYM0 + (np.arange(n_pairs) // NSYM) % NSYM
     vals = rng.integers(SYM0, SYM0 + NSYM, size=(n_pairs, VLEN))
-    qi = int(rng.integers(n_pairs))
+    qis = rng.choice(n_pairs, size=n_queries, replace=False)
     toks = []
     for i in range(n_pairs):
         toks.extend(keys[i]); toks.append(COL)
         toks.extend(vals[i]); toks.append(SEP)
-    toks.append(QTOK); toks.extend(keys[qi]); toks.append(ATOK)
-    a0 = len(toks)
-    toks.extend(vals[qi])
+    a0s = []
+    for qi in qis:
+        toks.append(QTOK); toks.extend(keys[qi]); toks.append(ATOK)
+        a0s.append(len(toks))
+        toks.extend(vals[qi])
     toks = np.asarray(toks, np.int32)
     out = np.zeros(seq, np.int32)
-    out[-len(toks):] = toks             # left-pad with 0 (never attended
-    a0 += seq - len(toks)               # in training loss; true positions)
-    return out, a0
+    out[-len(toks):] = toks             # left-pad with 0 (never
+    off = seq - len(toks)               # supervised; true positions)
+    return out, [a + off for a in a0s]
 
 
-def make_batch(rng, batch, seq=SEQ):
+def make_batch(rng, batch, seq=SEQ, n_queries=24):
     xs, masks = [], []
     for _ in range(batch):
-        x, a0 = make_example(rng, seq)
+        x, a0s = make_example(rng, seq, n_queries)
         m = np.zeros(seq, np.float32)
-        m[a0:a0 + VLEN] = 1.0
+        for a0 in a0s:
+            m[a0:a0 + VLEN] = 1.0
         xs.append(x); masks.append(m)
     return np.stack(xs), np.stack(masks)
 
@@ -188,7 +197,16 @@ def cmd_train(args):
             one, (params, opt_state), (batches, masks))
         return params, opt_state, losses
 
+    @jax.jit
+    def val_acc(params, tokens, mask):
+        logits = train_forward(params, tokens, cfg)
+        pred = jnp.argmax(logits[:, :-1], -1)
+        ok = (pred == tokens[:, 1:]) * mask[:, 1:]
+        return jnp.sum(ok) / jnp.maximum(jnp.sum(mask[:, 1:]), 1.0)
+
     rng = np.random.default_rng(args.seed)
+    vx, vm = make_batch(np.random.default_rng(10_000), args.batch)
+    vx, vm = jnp.asarray(vx), jnp.asarray(vm)
     t0 = time.perf_counter()
     done = 0
     while done < args.steps:
@@ -199,7 +217,9 @@ def cmd_train(args):
             jnp.asarray(np.stack(ms)))
         done += k
         if done % (args.scan * 4) == 0 or done >= args.steps:
+            acc = float(val_acc(params, vx, vm))
             print(f"step {done:5d} | answer-nll {float(losses[-1]):.4f} "
+                  f"| val answer-token acc {acc:.3f} "
                   f"| {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16),
@@ -229,7 +249,8 @@ def cmd_eval(args):
     }
     rng = np.random.default_rng(args.eval_seed)
     # held-out examples; prompt = everything before the answer span
-    examples = [make_example(rng) for _ in range(args.examples)]
+    examples = [(x, a0s[0]) for x, a0s in
+                (make_example(rng) for _ in range(args.examples))]
     res = {}
     for arch in ("mha", "gqa"):
         path = os.path.join(args.out, arch)

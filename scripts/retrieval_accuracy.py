@@ -53,8 +53,10 @@ from kivi_tpu.models import modeling
 
 SEP, COL, QTOK, ATOK = 1, 2, 3, 4
 SYM0, NSYM = 10, 240          # key/value symbol alphabet [10, 250)
-KLEN = VLEN = 3               # tokens per key / per value
-PAIR = KLEN + 1 + VLEN + 1    # k : v ;
+VLEN = 3                      # tokens per value
+KLEN = 2                      # tokens per key (module default; probes
+                              # showed 3-token keys do not form the
+                              # matching circuit at this scale)
 SEQ = 2048
 ARCHS = {
     # head_dim=128 keeps eval on the production kernel geometry
@@ -69,22 +71,24 @@ ARCHS = {
 }
 
 
-QBLK = 1 + KLEN + 1 + VLEN            # [Q] kq [A] vq
-
-
 def make_example(rng: np.random.Generator, seq: int = SEQ,
-                 n_queries: int = 1):
+                 n_queries: int = 1, klen: int = KLEN):
     """One retrieval sequence; returns (tokens, answer starts).
 
     n_queries DISTINCT pairs are queried back-to-back at the tail —
     the training signal (only answer tokens are supervised) scales
     with it; a 1-query sequence (eval) is the first-query case of the
     same distribution."""
-    n_pairs = (seq - n_queries * QBLK) // PAIR
-    keys = rng.integers(SYM0, SYM0 + NSYM, size=(n_pairs, KLEN))
-    # enforce key uniqueness via an injective (token0, token1) grid
+    qblk = 1 + klen + 1 + VLEN            # [Q] kq [A] vq
+    pair = klen + 1 + VLEN + 1            # k : v ;
+    n_pairs = (seq - n_queries * qblk) // pair
+    if klen == 1:
+        n_pairs = min(n_pairs, NSYM)      # unique single-token keys
+    keys = rng.integers(SYM0, SYM0 + NSYM, size=(n_pairs, klen))
+    # enforce key uniqueness via an injective (token0[, token1]) grid
     keys[:, 0] = SYM0 + rng.permutation(NSYM)[np.arange(n_pairs) % NSYM]
-    keys[:, 1] = SYM0 + (np.arange(n_pairs) // NSYM) % NSYM
+    if klen > 1:
+        keys[:, 1] = SYM0 + (np.arange(n_pairs) // NSYM) % NSYM
     vals = rng.integers(SYM0, SYM0 + NSYM, size=(n_pairs, VLEN))
     qis = rng.choice(n_pairs, size=n_queries, replace=False)
     toks = []
@@ -103,10 +107,10 @@ def make_example(rng: np.random.Generator, seq: int = SEQ,
     return out, [a + off for a in a0s]
 
 
-def make_batch(rng, batch, seq=SEQ, n_queries=24):
+def make_batch(rng, batch, seq=SEQ, n_queries=24, klen=KLEN):
     xs, masks = [], []
     for _ in range(batch):
-        x, a0s = make_example(rng, seq, n_queries)
+        x, a0s = make_example(rng, seq, n_queries, klen)
         m = np.zeros(seq, np.float32)
         for a0 in a0s:
             m[a0:a0 + VLEN] = 1.0
@@ -169,6 +173,13 @@ def cmd_train(args):
     from kivi_tpu.models.checkpoint import save_checkpoint
 
     cfg = ARCHS[args.arch]
+    if args.probe_small:
+        # learnability probes (CPU, outage fallback): tiny geometry,
+        # NOT the production kernel geometry — never eval this
+        cfg = dataclasses.replace(
+            cfg, hidden_size=256, intermediate_size=704, num_layers=2,
+            num_heads=4, num_kv_heads=cfg.num_kv_heads if
+            cfg.num_kv_heads == 1 else 4, head_dim=64)
     key = jax.random.PRNGKey(args.seed)
     params = modeling.init_params(cfg, key, dtype=jnp.float32)
     n = sum(x.size for x in jax.tree_util.tree_leaves(params))
@@ -205,13 +216,15 @@ def cmd_train(args):
         return jnp.sum(ok) / jnp.maximum(jnp.sum(mask[:, 1:]), 1.0)
 
     rng = np.random.default_rng(args.seed)
-    vx, vm = make_batch(np.random.default_rng(10_000), args.batch)
+    vx, vm = make_batch(np.random.default_rng(10_000), args.batch,
+                        seq=args.seq, klen=args.klen)
     vx, vm = jnp.asarray(vx), jnp.asarray(vm)
     t0 = time.perf_counter()
     done = 0
     while done < args.steps:
         k = min(args.scan, args.steps - done)
-        bs, ms = zip(*[make_batch(rng, args.batch) for _ in range(k)])
+        bs, ms = zip(*[make_batch(rng, args.batch, seq=args.seq,
+                                  klen=args.klen) for _ in range(k)])
         params, opt_state, losses = train_steps(
             params, opt_state, jnp.asarray(np.stack(bs)),
             jnp.asarray(np.stack(ms)))
@@ -250,7 +263,8 @@ def cmd_eval(args):
     rng = np.random.default_rng(args.eval_seed)
     # held-out examples; prompt = everything before the answer span
     examples = [(x, a0s[0]) for x, a0s in
-                (make_example(rng) for _ in range(args.examples))]
+                (make_example(rng, klen=args.klen)
+                 for _ in range(args.examples))]
     res = {}
     for arch in ("mha", "gqa"):
         path = os.path.join(args.out, arch)
@@ -295,6 +309,9 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="evalsuite_runs/retrieval")
+    ap.add_argument("--klen", type=int, default=KLEN)
+    ap.add_argument("--seq", type=int, default=SEQ)
+    ap.add_argument("--probe-small", action="store_true")
     ap.add_argument("--examples", type=int, default=64)
     ap.add_argument("--eval-batch", type=int, default=16)
     ap.add_argument("--eval-seed", type=int, default=123)

@@ -118,6 +118,39 @@ def make_batch(rng, batch, seq=SEQ, n_queries=24, klen=KLEN):
     return np.stack(xs), np.stack(masks)
 
 
+# -- "copy" task: variable-offset repeated segment ---------------------------
+# The canonical induction-head task: x = [S, S] with |S| drawn fresh per
+# example, so the copy offset VARIES and position-arithmetic shortcuts
+# don't exist — the circuit must CONTENT-MATCH the previous occurrence
+# of the current token through the (quantized at eval) K cache.  The
+# second occurrence of S is exactly predictable; supervision covers it
+# (minus its first token).  This is the long-range retrieval mechanism
+# of passkey/PassageRetrieval distilled to its trainable core.
+
+
+def make_example_copy(rng: np.random.Generator, seq: int = SEQ,
+                      L: int | None = None):
+    """Returns (tokens, c0): positions [c0+1, seq) are the supervised
+    copy region (token at c0+i equals token at c0+i-L, L = |S|)."""
+    if L is None:
+        L = int(rng.integers(seq * 5 // 16, seq // 2 + 1))
+    S = rng.integers(SYM0, SYM0 + NSYM, size=L)
+    out = np.zeros(seq, np.int32)
+    out[-2 * L:-L] = S
+    out[-L:] = S
+    return out, seq - L
+
+
+def make_batch_copy(rng, batch, seq=SEQ):
+    xs, masks = [], []
+    for _ in range(batch):
+        x, c0 = make_example_copy(rng, seq)
+        m = np.zeros(seq, np.float32)
+        m[c0 + 1:] = 1.0          # first repeated token is a freebie skip
+        xs.append(x); masks.append(m)
+    return np.stack(xs), np.stack(masks)
+
+
 def train_forward(params, tokens, cfg):
     """Causal forward with per-layer rematerialization (T=2048 f32
     score matrices would otherwise hold every layer live through the
@@ -216,15 +249,18 @@ def cmd_train(args):
         return jnp.sum(ok) / jnp.maximum(jnp.sum(mask[:, 1:]), 1.0)
 
     rng = np.random.default_rng(args.seed)
-    vx, vm = make_batch(np.random.default_rng(10_000), args.batch,
-                        seq=args.seq, klen=args.klen)
+    if args.task == "copy":
+        mk = lambda r: make_batch_copy(r, args.batch, seq=args.seq)
+    else:
+        mk = lambda r: make_batch(r, args.batch, seq=args.seq,
+                                  klen=args.klen)
+    vx, vm = mk(np.random.default_rng(10_000))
     vx, vm = jnp.asarray(vx), jnp.asarray(vm)
     t0 = time.perf_counter()
     done = 0
     while done < args.steps:
         k = min(args.scan, args.steps - done)
-        bs, ms = zip(*[make_batch(rng, args.batch, seq=args.seq,
-                                  klen=args.klen) for _ in range(k)])
+        bs, ms = zip(*[mk(rng) for _ in range(k)])
         params, opt_state, losses = train_steps(
             params, opt_state, jnp.asarray(np.stack(bs)),
             jnp.asarray(np.stack(ms)))
@@ -261,10 +297,20 @@ def cmd_eval(args):
                              residual_length=128, v_flush=128),
     }
     rng = np.random.default_rng(args.eval_seed)
-    # held-out examples; prompt = everything before the answer span
-    examples = [(x, a0s[0]) for x, a0s in
-                (make_example(rng, klen=args.klen)
-                 for _ in range(args.examples))]
+    if args.task == "copy":
+        # fixed L at eval (training varied it, so the circuit is
+        # content-based); prompt ends mid-copy, generate G tokens
+        G, L = 16, 3 * SEQ // 8
+        exs = [make_example_copy(rng, L=L) for _ in range(args.examples)]
+        j = L // 2
+        examples = [(x, c0 + j) for x, c0 in exs]
+        vlen = G
+    else:
+        # prompt = everything before the answer span
+        examples = [(x, a0s[0]) for x, a0s in
+                    (make_example(rng, klen=args.klen)
+                     for _ in range(args.examples))]
+        vlen = VLEN
     res = {}
     for arch in ("mha", "gqa"):
         path = os.path.join(args.out, arch)
@@ -280,18 +326,18 @@ def cmd_eval(args):
                     break
                 prompts = jnp.asarray(
                     np.stack([x[:a0] for x, a0 in chunk]), jnp.int32)
-                want = np.stack([x[a0:a0 + VLEN] for x, a0 in chunk])
-                out = np.asarray(eng.generate(prompts, VLEN))
+                want = np.stack([x[a0:a0 + vlen] for x, a0 in chunk])
+                out = np.asarray(eng.generate(prompts, vlen))
                 hits += int((out == want).all(axis=1).sum())
                 toks_ok += int((out == want).sum())
             n_ex = (len(examples) // args.eval_batch) * args.eval_batch
             res[f"{arch}_{name}"] = {
                 "exact": round(hits / n_ex, 4),
-                "token_acc": round(toks_ok / (n_ex * VLEN), 4),
+                "token_acc": round(toks_ok / (n_ex * vlen), 4),
                 "n": n_ex,
             }
             print(f"{arch:3s} {name:5s}: exact {hits}/{n_ex} = "
-                  f"{hits/n_ex:.1%}  token {toks_ok/(n_ex*VLEN):.1%}",
+                  f"{hits/n_ex:.1%}  token {toks_ok/(n_ex*vlen):.1%}",
                   file=sys.stderr)
     print(json.dumps(res))
     if args.json:
@@ -311,6 +357,7 @@ def main():
     ap.add_argument("--out", default="evalsuite_runs/retrieval")
     ap.add_argument("--klen", type=int, default=KLEN)
     ap.add_argument("--seq", type=int, default=SEQ)
+    ap.add_argument("--task", choices=("kv", "copy"), default="kv")
     ap.add_argument("--probe-small", action="store_true")
     ap.add_argument("--examples", type=int, default=64)
     ap.add_argument("--eval-batch", type=int, default=16)

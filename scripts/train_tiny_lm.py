@@ -154,6 +154,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--layers", type=int, default=None,
                     help="override depth (e.g. a shallow speculative draft)")
+    ap.add_argument("--kv-heads", type=int, default=None,
+                    help="override num_kv_heads (GQA byte LM for the "
+                         "retrieval-sensitivity axis)")
     ap.add_argument("--out", type=str, default="evalsuite_runs/tiny_lm")
     ap.add_argument("--platform", type=str, default=None,
                     help="cpu|tpu (env JAX_PLATFORMS is too late: jax "
@@ -163,9 +166,11 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     cfg = TINY_LM
+    import dataclasses
     if args.layers is not None:
-        import dataclasses
         cfg = dataclasses.replace(cfg, num_layers=args.layers)
+    if args.kv_heads is not None:
+        cfg = dataclasses.replace(cfg, num_kv_heads=args.kv_heads)
     train, val = build_corpus()
     print(f"corpus: train {len(train) / 2**20:.1f} MiB, "
           f"val {len(val) / 2**20:.1f} MiB, backend "

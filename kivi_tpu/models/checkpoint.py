@@ -50,7 +50,16 @@ def load_checkpoint(path: str, mesh=None
     ckptr = ocp.StandardCheckpointer()
     pdir = os.path.join(os.path.abspath(path), "params")
     if mesh is None:
-        params = ckptr.restore(pdir)
+        # Restore to shape/dtype targets, NOT the recorded shardings: a
+        # bare restore() replays the SAVING platform's device metadata,
+        # so a TPU-saved checkpoint would refuse to load on a CPU host
+        # ("Device TPU v5 lite0 was not found in jax.local_devices()").
+        meta = ckptr.metadata(pdir).item_metadata.tree
+        dev = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        target = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                           sharding=dev), meta)
+        params = ckptr.restore(pdir, target)
     else:
         from jax.sharding import NamedSharding
         from kivi_tpu.parallel.mesh import param_pspecs

@@ -103,8 +103,11 @@ def main():
         name = os.path.basename(mdir.rstrip("/"))
         arch = f"{name}(kv{cfg.num_kv_heads}/{cfg.num_heads})"
         for qname, qcfg in qcfgs.items():
+            # cache invariant: max_seq_len % group_size == 0 (round to
+            # the 128-residual granularity so every qcfg is satisfied)
+            max_seq = ((args.ctx + 64 + 127) // 128) * 128
             eng = Engine(cfg=cfg, qcfg=qcfg, params=params,
-                         max_seq_len=args.ctx + 64,
+                         max_seq_len=max_seq,
                          batch_size=args.batch,
                          impl="pallas" if qcfg.quantize_kv else "jnp")
             per_depth = {}

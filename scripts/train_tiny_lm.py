@@ -89,9 +89,28 @@ def build_corpus(max_bytes: int = 48 << 20, val_frac: float = 0.02):
 
 
 def sample_batch(rng: np.random.Generator, corpus: np.ndarray, batch: int,
-                 seq: int) -> np.ndarray:
+                 seq: int, passkey_frac: float = 0.0) -> np.ndarray:
     starts = rng.integers(0, len(corpus) - seq - 1, size=batch)
-    return np.stack([corpus[s:s + seq] for s in starts]).astype(np.int32)
+    rows = np.stack([corpus[s:s + seq] for s in starts]).astype(np.int32)
+    if passkey_frac > 0.0:
+        # Plant the passkey-recall curriculum (scripts/passkey_recall.py
+        # format) in a fraction of rows: a `\n##PASSKEY=dddddd\n` line at
+        # a RANDOM depth (no positional shortcut), re-cued at the tail —
+        # the 6 random digits make content-based retrieval the only way
+        # to reduce loss on the answer tokens.  The reference's passkey
+        # demo (`long_context_example.py`) assumes a model that already
+        # has this circuit; a 13M byte LM must be taught it.
+        marker = np.frombuffer(b"\n##PASSKEY=", np.uint8).astype(np.int32)
+        for i in range(batch):
+            if rng.random() >= passkey_frac:
+                continue
+            digits = rng.integers(ord("0"), ord("9") + 1, size=6)
+            key = np.concatenate([marker, digits, [ord("\n")]])
+            tail = np.concatenate([marker, digits])
+            at = int(rng.integers(0, seq - len(key) - len(tail) - 1))
+            rows[i, at:at + len(key)] = key
+            rows[i, seq - len(tail):] = tail
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +176,12 @@ def main():
     ap.add_argument("--kv-heads", type=int, default=None,
                     help="override num_kv_heads (GQA byte LM for the "
                          "retrieval-sensitivity axis)")
+    ap.add_argument("--passkey-frac", type=float, default=0.0,
+                    help="fraction of training rows with a planted "
+                         "passkey + tail re-cue (retrieval curriculum)")
+    ap.add_argument("--init-from", type=str, default=None,
+                    help="checkpoint dir to finetune from (must match "
+                         "the requested geometry)")
     ap.add_argument("--out", type=str, default="evalsuite_runs/tiny_lm")
     ap.add_argument("--platform", type=str, default=None,
                     help="cpu|tpu (env JAX_PLATFORMS is too late: jax "
@@ -178,6 +203,13 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     params = modeling.init_params(cfg, key, dtype=jnp.float32)
+    if args.init_from:
+        from kivi_tpu.models.checkpoint import load_checkpoint
+        icfg, iparams = load_checkpoint(args.init_from)
+        assert dataclasses.asdict(icfg) == dataclasses.asdict(cfg), \
+            (icfg, cfg)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), iparams)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params / 1e6:.1f}M", file=sys.stderr)
 
@@ -214,7 +246,8 @@ def main():
     while done < args.steps:
         k = min(args.scan, args.steps - done)
         batches = jnp.asarray(np.stack(
-            [sample_batch(rng, train, args.batch, args.seq)
+            [sample_batch(rng, train, args.batch, args.seq,
+                          args.passkey_frac)
              for _ in range(k)]))
         params, opt_state, losses = train_steps(params, opt_state, batches)
         done += k

@@ -103,9 +103,10 @@ def main():
         name = os.path.basename(mdir.rstrip("/"))
         arch = f"{name}(kv{cfg.num_kv_heads}/{cfg.num_heads})"
         for qname, qcfg in qcfgs.items():
-            # cache invariant: max_seq_len % group_size == 0 (round to
-            # the 128-residual granularity so every qcfg is satisfied)
-            max_seq = ((args.ctx + 64 + 127) // 128) * 128
+            # cache invariants: max_seq_len must divide by the decode
+            # kernels' chunk (512) — which also covers group_size and
+            # the 128-token residual window
+            max_seq = ((args.ctx + 64 + 511) // 512) * 512
             eng = Engine(cfg=cfg, qcfg=qcfg, params=params,
                          max_seq_len=max_seq,
                          batch_size=args.batch,

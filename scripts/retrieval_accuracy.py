@@ -90,6 +90,7 @@ def make_example(rng: np.random.Generator, seq: int = SEQ,
     if klen > 1:
         keys[:, 1] = SYM0 + (np.arange(n_pairs) // NSYM) % NSYM
     vals = rng.integers(SYM0, SYM0 + NSYM, size=(n_pairs, VLEN))
+    n_queries = min(n_queries, n_pairs)   # short-seq probes
     qis = rng.choice(n_pairs, size=n_queries, replace=False)
     toks = []
     for i in range(n_pairs):

@@ -89,9 +89,15 @@ def build_corpus(max_bytes: int = 48 << 20, val_frac: float = 0.02):
 
 
 def sample_batch(rng: np.random.Generator, corpus: np.ndarray, batch: int,
-                 seq: int, passkey_frac: float = 0.0) -> np.ndarray:
+                 seq: int, passkey_frac: float = 0.0,
+                 passkey_weight: float = 1.0):
+    """Returns (rows, loss_weights).  Weights are 1 everywhere except
+    planted answer digits (`passkey_weight`): the 6 answer tokens are
+    ~0.3% of the LM loss mass, far too dilute for the retrieval circuit
+    to form against 47 MiB of ordinary next-byte signal."""
     starts = rng.integers(0, len(corpus) - seq - 1, size=batch)
     rows = np.stack([corpus[s:s + seq] for s in starts]).astype(np.int32)
+    w = np.ones((batch, seq), np.float32)
     if passkey_frac > 0.0:
         # Plant the passkey-recall curriculum (scripts/passkey_recall.py
         # format) in a fraction of rows: a `\n##PASSKEY=dddddd\n` line at
@@ -110,7 +116,8 @@ def sample_batch(rng: np.random.Generator, corpus: np.ndarray, batch: int,
             at = int(rng.integers(0, seq - len(key) - len(tail) - 1))
             rows[i, at:at + len(key)] = key
             rows[i, seq - len(tail):] = tail
-    return rows
+            w[i, seq - 6:] = passkey_weight
+    return rows, w
 
 
 # ---------------------------------------------------------------------------
@@ -152,12 +159,15 @@ def train_forward(params: dict, tokens: jax.Array, cfg: ModelConfig
     return (x @ params["lm_head"]).astype(jnp.float32)
 
 
-def loss_fn(params, tokens, cfg):
+def loss_fn(params, tokens, cfg, weights=None):
     logits = train_forward(params, tokens, cfg)
     tgt = tokens[:, 1:]
     lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
-    nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)
-    return jnp.mean(nll)
+    nll = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+    if weights is None:
+        return jnp.mean(nll)
+    w = weights[:, 1:]
+    return jnp.sum(nll * w) / jnp.sum(w)
 
 
 def main():
@@ -179,6 +189,8 @@ def main():
     ap.add_argument("--passkey-frac", type=float, default=0.0,
                     help="fraction of training rows with a planted "
                          "passkey + tail re-cue (retrieval curriculum)")
+    ap.add_argument("--passkey-weight", type=float, default=50.0,
+                    help="loss weight on planted answer digits")
     ap.add_argument("--init-from", type=str, default=None,
                     help="checkpoint dir to finetune from (must match "
                          "the requested geometry)")
@@ -224,15 +236,16 @@ def main():
     opt_state = opt.init(params)
 
     @jax.jit
-    def train_steps(params, opt_state, batches):
-        def one(carry, tokens):
+    def train_steps(params, opt_state, batches, weights):
+        def one(carry, tw):
             params, opt_state = carry
-            loss, grads = jax.value_and_grad(loss_fn)(params, tokens, cfg)
+            loss, grads = jax.value_and_grad(loss_fn)(params, tw[0], cfg,
+                                                      tw[1])
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
         (params, opt_state), losses = jax.lax.scan(
-            one, (params, opt_state), batches)
+            one, (params, opt_state), (batches, weights))
         return params, opt_state, losses
 
     @jax.jit
@@ -240,16 +253,18 @@ def main():
         return loss_fn(params, tokens, cfg)
 
     rng = np.random.default_rng(args.seed)
-    vbatch = jnp.asarray(sample_batch(rng, val, 16, args.seq))
+    vbatch = jnp.asarray(sample_batch(rng, val, 16, args.seq)[0])
     t0 = time.perf_counter()
     done = 0
     while done < args.steps:
         k = min(args.scan, args.steps - done)
-        batches = jnp.asarray(np.stack(
-            [sample_batch(rng, train, args.batch, args.seq,
-                          args.passkey_frac)
-             for _ in range(k)]))
-        params, opt_state, losses = train_steps(params, opt_state, batches)
+        bw = [sample_batch(rng, train, args.batch, args.seq,
+                           args.passkey_frac, args.passkey_weight)
+              for _ in range(k)]
+        batches = jnp.asarray(np.stack([b for b, _ in bw]))
+        weights = jnp.asarray(np.stack([w for _, w in bw]))
+        params, opt_state, losses = train_steps(params, opt_state, batches,
+                                                weights)
         done += k
         if done % (args.scan * 8) == 0 or done >= args.steps:
             vl = float(val_loss(params, vbatch))
